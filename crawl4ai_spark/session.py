@@ -1,0 +1,74 @@
+"""SparkSession factory tuned for the crawl engine.
+
+Local-mode testing uses ``local[N]``; on a real cluster the same settings
+apply (AQE, adaptive skew-join, Arrow) and the partition counts scale with
+``spark.sql.shuffle.partitions`` / executor count.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+_PKG_ROOT = str(Path(__file__).resolve().parent.parent)
+
+
+def _export_pythonpath() -> None:
+    """Make the package importable in executor Python workers.
+
+    Equivalent of ``spark-submit --py-files crawl4ai_spark.zip``: pandas
+    UDF closures are pickled by module reference, so workers must be
+    able to ``import crawl4ai_spark`` regardless of the driver's cwd.
+    Must run before the JVM launches.
+    """
+    existing = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_PKG_ROOT}{os.pathsep}{existing}" if existing else _PKG_ROOT
+        )
+
+
+def get_spark(
+    app_name: str = "crawl4ai_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession.
+
+    cpus=None → ``local[*]``. Shuffle partitions default to the core
+    count: crawl rounds are many small-to-medium jobs, so 200 default
+    partitions would just add scheduling overhead; at cluster scale the
+    caller passes an explicit value sized to executor count.
+    """
+    _export_pythonpath()
+    if cpus is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        cpus = int(cpus_env) if cpus_env else os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(4, cpus)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Iterative round loop: keep broadcast threshold default but make
+        # in-memory relations cheap to re-join.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, str(v))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

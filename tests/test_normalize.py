@@ -1,0 +1,84 @@
+"""Normalizer parity — cases from the reference regression suite
+(tests/regression/test_reg_deep_crawl.py:384-460, tests/test_normalize_url.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.functions.normalize import (
+    get_base_domain,
+    is_external_url,
+    normalize_udf,
+    normalize_url_for_deep_crawl,
+)
+
+BASE = "https://example.com/dir/page.html"
+
+CASES = [
+    # relative resolution
+    ("/about", BASE, "https://example.com/about"),
+    ("sub.html", BASE, "https://example.com/dir/sub.html"),
+    ("../up.html", BASE, "https://example.com/up.html"),
+    # fragment stripped: /page#a == /page#b == /page
+    ("https://example.com/page#a", BASE, "https://example.com/page"),
+    ("https://example.com/page#b", BASE, "https://example.com/page"),
+    ("https://example.com/page", BASE, "https://example.com/page"),
+    # lowercase host, scheme preserved
+    ("https://EXAMPLE.com/Path", BASE, "https://example.com/Path"),
+    # trailing slash preserved (semantically significant)
+    ("https://example.com/page/", BASE, "https://example.com/page/"),
+    # tracking params dropped (the deep-crawl 5: utm_source, utm_medium,
+    # utm_campaign, ref, fbclid); other params kept
+    (
+        "https://example.com/p?utm_source=x&id=3",
+        BASE,
+        "https://example.com/p?id=3",
+    ),
+    ("https://example.com/p?ref=tw&fbclid=1", BASE, "https://example.com/p"),
+    # utm_term is NOT in the deep-crawl drop list
+    (
+        "https://example.com/p?utm_term=k",
+        BASE,
+        "https://example.com/p?utm_term=k",
+    ),
+    # empty path → '/'
+    ("https://example.com", BASE, "https://example.com/"),
+    # whitespace stripped
+    ("  /about  ", BASE, "https://example.com/about"),
+]
+
+
+@pytest.mark.parametrize("href,base,expected", CASES)
+def test_scalar_normalize(href, base, expected):
+    assert normalize_url_for_deep_crawl(href, base) == expected
+
+
+def test_none_and_empty():
+    assert normalize_url_for_deep_crawl(None, BASE) is None
+    assert normalize_url_for_deep_crawl("", BASE) is None
+
+
+def test_normalize_udf_matches_scalar(spark):
+    df = spark.createDataFrame(
+        [(h, b) for h, b, _ in CASES], "href string, base string"
+    )
+    got = [
+        r["n"]
+        for r in df.select(
+            normalize_udf(F.col("href"), F.col("base")).alias("n")
+        ).collect()
+    ]
+    assert got == [e for _, _, e in CASES]
+
+
+def test_base_domain():
+    assert get_base_domain("https://www.sub.example.com/x") == "example.com"
+    assert get_base_domain("https://example.co.uk/x") == "example.co.uk"
+    assert get_base_domain("https://example.com:8080/x") == "example.com"
+    assert get_base_domain("not a url") == ""
+
+
+def test_is_external():
+    assert is_external_url("mailto:x@y.com", "example.com")
+    assert not is_external_url("/relative", "example.com")
+    assert not is_external_url("https://sub.example.com/a", "example.com")
+    assert is_external_url("https://other.org/a", "example.com")
