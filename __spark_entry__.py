@@ -1,38 +1,815 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for
+every SQL-expressible one (the driver compares row count + schema +
+order-insensitive value hash at sf=0.01).  Crawl traversals that SQL
+cannot express (best-first / DFS emission order, politeness state
+folds) are included without an oracle → rows-only check, by design.
+
+The synthetic "web" used by crawl queries derives every attribute from
+``doc_id`` arithmetic (crawl4ai_spark/sources/corpus.py), so the same
+graph is constructible in Spark, in pure Python (parity oracle), and in
+DuckDB SQL (recursive CTE) — three independent implementations that
+must agree.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+_ROOT = str(Path(__file__).resolve().parent)
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+# executor python workers must import crawl4ai_spark too (pandas UDFs
+# pickle by module reference); harmless if the session already exists
+# with cwd == repo root.
+_pp = os.environ.get("PYTHONPATH", "")
+if _ROOT not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = f"{_ROOT}{os.pathsep}{_pp}" if _pp else _ROOT
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.functions import dedup as D
+from crawl4ai_spark.functions import similarity as SIM
+from crawl4ai_spark.functions import text as TX
+from crawl4ai_spark.functions.filters import (
+    ContentTypeFilter,
+    DomainFilter,
+    URLPatternFilter,
+    valid_crawl_url,
+)
+from crawl4ai_spark.functions.normalize import normalize_udf
+from crawl4ai_spark.functions.scorers import (
+    CompositeScorer,
+    ContentTypeScorer,
+    DomainAuthorityScorer,
+    FreshnessScorer,
+    KeywordRelevanceScorer,
+    PathDepthScorer,
+)
+from crawl4ai_spark.operators.frontier import CrawlEngine, CrawlSpec
+from crawl4ai_spark.sources import corpus
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+BRANCHING = corpus.DEFAULT_BRANCHING
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the synthetic canonical URL derived from doc_id."""
+    return _docs(spark, sf_dir).withColumn(
+        "url", corpus.canonical_url_col(F.col("doc_id"))
+    )
+
+
+# SQL mirror of corpus.canonical_url_col over a doc_id expression
+def _sql_url(e: str = "doc_id") -> str:
+    return (
+        f"'https://d' || CAST(CASE WHEN {e} % 2 = 0 THEN 0 ELSE {e} % 7 END AS VARCHAR)"
+        f" || '.example.com/' || (['blog','docs','api','news','shop'])[CAST({e} % 5 AS INT) + 1]"
+        f" || '/' || CAST(2015 + {e} % 10 AS VARCHAR)"
+        f" || '/doc-' || CAST({e} AS VARCHAR)"
+        f" || (['.html','.pdf','.jpg',''])[CAST({e} % 4 AS INT) + 1]"
+    )
+
+
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+)
+
+_SCORERS = {
+    "keyword": KeywordRelevanceScorer(keywords=["docs", "blog"], weight=1.0),
+    "ctype": ContentTypeScorer(
+        type_weights={".html$": 1.0, ".pdf$": 0.8, ".jpg$": 0.6}, weight=1.0
+    ),
+    "fresh": FreshnessScorer(weight=1.0, current_year=2024),
+    "domauth": DomainAuthorityScorer(
+        domain_weights={"d0.example.com": 1.0, "d1.example.com": 0.8},
+        default_weight=0.3,
+        weight=1.0,
+    ),
+}
+_COMPOSITE = CompositeScorer(scorers=list(_SCORERS.values()), normalize=True)
+
+# SQL mirrors of each scorer ON THE SYNTHETIC URL (expected values by
+# construction of the URL — an independent derivation, not a port of the
+# Column expression)
+_SQL_KEYWORD = (
+    "(CASE WHEN contains(url,'docs') THEN 1 ELSE 0 END"
+    " + CASE WHEN contains(url,'blog') THEN 1 ELSE 0 END) / 2.0"
+)
+_SQL_CTYPE = (
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1.0 WHEN 1 THEN 0.8 WHEN 2 THEN 0.6 ELSE 0.0 END"
+)
+# year = 2015 + doc_id%10 → diff = 9 - doc_id%10; table for diff<6, else max(0.1, 1-diff*0.1)
+_SQL_FRESH = (
+    "CASE 9 - CAST(doc_id % 10 AS INT)"
+    " WHEN 0 THEN 1.0 WHEN 1 THEN 0.9 WHEN 2 THEN 0.8 WHEN 3 THEN 0.7"
+    " WHEN 4 THEN 0.6 WHEN 5 THEN 0.5"
+    " WHEN 6 THEN 0.4 WHEN 7 THEN 0.3 WHEN 8 THEN 0.2 ELSE 0.1 END"
+)
+_SQL_DOMAUTH = (
+    "CASE CASE WHEN doc_id % 2 = 0 THEN 0 ELSE CAST(doc_id % 7 AS INT) END"
+    " WHEN 0 THEN 1.0 WHEN 1 THEN 0.8 ELSE 0.3 END"
+)
+
+
+def _md5long_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_normalize_urls(spark, sf_dir):
+    """N2 normalize_url_for_deep_crawl over messy hrefs (Arrow UDF)."""
+    du = _doc_urls(spark, sf_dir)
+    messy = F.concat(
+        F.col("url"),
+        F.lit("?utm_source=x&b="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&a=1#sec"),
+    )
+    return du.select(
+        "doc_id", normalize_udf(messy, F.col("url")).alias("norm_url")
+    )
+
+
+def q_seen_anti_join(spark, sf_dir):
+    """J1: frontier candidates ∖ URL-seen via LEFT ANTI join."""
+    du = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    seen = du.filter(F.col("doc_id") % 3 == 0).select(F.col("url").alias("seen_url"))
+    return du.join(seen, du["url"] == seen["seen_url"], "left_anti").select(
+        "doc_id", "url"
+    )
+
+
+def _scorer_query(name):
+    def q(spark, sf_dir):
+        du = _doc_urls(spark, sf_dir)
+        return du.select(
+            "doc_id", _SCORERS[name].column(F.col("url")).alias("score")
+        )
+
+    return q
+
+
+def q_path_depth_scorer(spark, sf_dir):
+    """C2 PathDepthScorer on urls with varied synthetic depth."""
+    du = _doc_urls(spark, sf_dir)
+    url2 = F.concat(
+        F.col("url"),
+        F.element_at(
+            F.array(F.lit(""), F.lit("/x"), F.lit("/x/y")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+    )
+    scorer = PathDepthScorer(optimal_depth=4, weight=1.0)
+    return du.select("doc_id", scorer.column(url2).alias("score"))
+
+
+def q_composite_scorer(spark, sf_dir):
+    du = _doc_urls(spark, sf_dir)
+    return du.select("doc_id", _COMPOSITE.column(F.col("url")).alias("score"))
+
+
+def q_pattern_filter(spark, sf_dir):
+    du = _doc_urls(spark, sf_dir)
+    filt = URLPatternFilter(patterns=["*.html", "/docs/*"])
+    return du.select("doc_id", "url", filt.column(F.col("url")).alias("passed"))
+
+
+def q_content_type_filter(spark, sf_dir):
+    du = _doc_urls(spark, sf_dir)
+    filt = ContentTypeFilter(allowed_types=["text/html"])
+    return du.select("doc_id", "url", filt.column(F.col("url")).alias("passed"))
+
+
+def q_domain_filter(spark, sf_dir):
+    du = _doc_urls(spark, sf_dir)
+    filt = DomainFilter(
+        allowed_domains=["example.com"], blocked_domains=["d3.example.com"]
+    )
+    return du.select("doc_id", "url", filt.column(F.col("url")).alias("passed"))
+
+
+def q_validity_filter(spark, sf_dir):
+    """F7 URL validity predicate over a mix of valid/invalid URLs."""
+    du = _doc_urls(spark, sf_dir)
+    mixed = (
+        F.when(F.col("doc_id") % 4 == 0, F.col("url"))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("ftp://x.com/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 2, F.lit("not-a-url"))
+        .otherwise(F.lit("https://localhost/p"))
+    )
+    return du.select("doc_id", valid_crawl_url(mixed).alias("passed"))
+
+
+def q_bff_priority_topk(spark, sf_dir):
+    """W3: best-first pop order — (-score, depth, url) over the whole
+    candidate set, BATCH_SIZE=10 (bff_strategy.py:228,254-270)."""
+    du = _doc_urls(spark, sf_dir)
+    scored = du.select(
+        "doc_id",
+        "url",
+        (F.col("doc_id") % 4).cast("int").alias("depth"),
+        _COMPOSITE.column(F.col("url")).alias("score"),
+    )
+    return scored.orderBy(
+        F.desc("score"), F.asc("depth"), F.asc("url")
+    ).limit(10)
+
+
+def q_politeness_budget(spark, sf_dir):
+    """P1: per-domain per-round fetch budget via window ranking."""
+    du = _doc_urls(spark, sf_dir).withColumn(
+        "domain", F.regexp_extract("url", r"://([^/]+)", 1)
+    )
+    budget = F.when(F.col("domain") == "d0.example.com", 3).otherwise(2)
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    return (
+        du.withColumn("rn", F.row_number().over(w))
+        .withColumn("budget", budget)
+        .filter(F.col("rn") <= F.col("budget"))
+        .select("doc_id", "domain", "rn")
+    )
+
+
+def q_fairness_aging(spark, sf_dir):
+    """W6 dispatcher fairness: oldest-first rank per event_type."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_id", "event_type", "rn")
+    )
+
+
+def q_robots_gate(spark, sf_dir):
+    """P6: robots disallow-prefix gate as a broadcast rule column."""
+    from crawl4ai_spark.operators.robots import RobotsRules
+
+    rules = RobotsRules(
+        disallow={"d0.example.com": ["/shop", "/api"], "d2.example.com": ["/"]}
+    )
+    du = _doc_urls(spark, sf_dir)
+    return du.select(
+        "doc_id", "url", rules.blocked_column(F.col("url")).alias("blocked")
+    )
+
+
+def q_bfs_reach(spark, sf_dir):
+    """§3.2 BFS deep crawl (depth ≤ 2) over the synthetic corpus; result
+    = (url, depth, n_emitted). The DuckDB oracle re-derives the same
+    traversal with a recursive CTE (min-depth reachability through
+    success nodes + the start-recrawl quirk)."""
+    n = _docs(spark, sf_dir).count()
+    pages = corpus.build_pages(spark, n)
+    engine = CrawlEngine(spark, pages, CrawlSpec(max_depth=2, strategy="bfs"))
+    res = engine.run(corpus.py_canonical_url(1))
+    return res.groupBy("url", "depth").agg(F.count("*").alias("n")).select(
+        "url", F.col("depth").cast("int").alias("depth"), "n"
+    )
+
+
+def q_bfs_level_metrics(spark, sf_dir):
+    """A2 traversal stats: per-depth fetched/succeeded counts."""
+    n = _docs(spark, sf_dir).count()
+    pages = corpus.build_pages(spark, n)
+    engine = CrawlEngine(spark, pages, CrawlSpec(max_depth=2, strategy="bfs"))
+    res = engine.run(corpus.py_canonical_url(1))
+    return res.groupBy(F.col("depth").cast("int").alias("depth")).agg(
+        F.count("*").alias("fetched"),
+        F.sum(F.col("success").cast("long")).alias("succeeded"),
+    )
+
+
+def q_bff_crawl(spark, sf_dir):
+    """W3 end-to-end best-first crawl (rows-only check: emission order
+    is not SQL-expressible)."""
+    n = _docs(spark, sf_dir).count()
+    pages = corpus.build_pages(spark, n)
+    engine = CrawlEngine(
+        spark,
+        pages,
+        CrawlSpec(
+            max_depth=2,
+            strategy="best_first",
+            scorer=_COMPOSITE,
+            max_pages=30,
+        ),
+    )
+    return engine.run(corpus.py_canonical_url(1)).select(
+        "emit_seq", "url", "depth", "parent_url", "score", "success"
+    )
+
+
+def q_dfs_crawl(spark, sf_dir):
+    """W2 DFS strict-order crawl (rows-only)."""
+    pages = corpus.build_pages(spark, 40)
+    engine = CrawlEngine(
+        spark, pages, CrawlSpec(max_depth=2, strategy="dfs", max_pages=10)
+    )
+    return engine.run(corpus.py_canonical_url(1)).select(
+        "emit_seq", "url", "depth", "parent_url", "success"
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir)).select(
+        "text_md5", "keep_id", "n_copies"
+    )
+
+
+def q_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_stopword_ratio(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.round(TX.stopword_ratio(F.col("text")), 6).alias("stop_ratio")
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_minhash_signature(spark, sf_dir):
+    sig = D.minhash_signature(
+        _docs(spark, sf_dir), num_hashes=8, shingle_n=3
+    )
+    cols = [F.element_at("sig", h + 1).alias(f"m{h}") for h in range(8)]
+    return sig.select("doc_id", *cols)
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (share ≥1 shingle, j ≥ 0.2)."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(D.word_shingles(F.col("text"), 3))
+        ).alias("shingle"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    j = D.jaccard_pairs(docs, pairs)
+    return j.filter(F.col("jaccard") >= 0.2).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs confirmed by exact Jaccard ≥ 0.2
+    (rows-only: LSH recall < 1 is probabilistic by design)."""
+    docs = _docs(spark, sf_dir)
+    sig = D.minhash_signature(docs, num_hashes=16, shingle_n=3)
+    pairs = D.minhash_lsh_pairs(sig, bands=4, rows_per_band=4)
+    j = D.jaccard_pairs(docs, pairs)
+    return j.filter(F.col("jaccard") >= 0.2).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", D.simhash(F.col("text"), bits=16).alias("sh")
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][
+        "embedding"
+    ]
+    top = SIM.brute_force_topk(emb, list(query), k=10)
+    return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """IVF/LSH-bucketed ANN variant (rows-only; recall probabilistic)."""
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][
+        "embedding"
+    ]
+    top = SIM.lsh_bucket_topk(emb, list(query), k=10, planes=8)
+    return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_politeness_backoff(spark, sf_dir):
+    """P2 adaptive backoff fold over one round of outcomes (rows-only:
+    the sequential seeded fold is not SQL-expressible)."""
+    from crawl4ai_spark.operators.politeness import PolitenessSpec, PolitenessState
+
+    n = _docs(spark, sf_dir).count()
+    pages = corpus.build_pages(spark, n)
+    outcomes = pages.select(
+        F.col("doc_id").alias("emit_seq"), "url", "status_code"
+    )
+    state = PolitenessState(spark, PolitenessSpec(seed=42))
+    state.update(outcomes, round_no=0)
+    return state.state.select(
+        "domain",
+        F.round("current_delay", 6).alias("current_delay"),
+        "fail_count",
+        "retired",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BFS deep crawl (depth 2) over the synthetic corpus
+    sized from sf0.001 documents."""
+    return q_bfs_reach(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    qs = {
+        "normalize_urls": q_normalize_urls,
+        "seen_anti_join": q_seen_anti_join,
+        "keyword_scorer": _scorer_query("keyword"),
+        "content_type_scorer": _scorer_query("ctype"),
+        "freshness_scorer": _scorer_query("fresh"),
+        "domain_authority_scorer": _scorer_query("domauth"),
+        "path_depth_scorer": q_path_depth_scorer,
+        "composite_scorer": q_composite_scorer,
+        "pattern_filter": q_pattern_filter,
+        "content_type_filter": q_content_type_filter,
+        "domain_filter": q_domain_filter,
+        "validity_filter": q_validity_filter,
+        "bff_priority_topk": q_bff_priority_topk,
+        "politeness_budget": q_politeness_budget,
+        "fairness_aging": q_fairness_aging,
+        "robots_gate": q_robots_gate,
+        "bfs_reach": q_bfs_reach,
+        "bfs_level_metrics": q_bfs_level_metrics,
+        "bff_crawl": q_bff_crawl,
+        "dfs_crawl": q_dfs_crawl,
+        "politeness_backoff": q_politeness_backoff,
+        "exact_dedup": q_exact_dedup,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "stopword_ratio": q_stopword_ratio,
+        "fingerprint": q_fingerprint,
+        "minhash_signature": q_minhash_signature,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
+    return qs
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views: region nation customer supplier part orders
+# lineitem events documents embeddings)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    url = _sql_url("doc_id")
+    simhash_bits = []
+    for i in range(16):
+        vote = (
+            f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)"
+        )
+        simhash_bits.append(f"CASE WHEN {vote} > 0 THEN {2**i} ELSE 0 END")
+    simhash_expr = " + ".join(simhash_bits)
+
+    minhash_mins = ", ".join(
+        "MIN({expr}) AS m{h}".format(
+            expr=_md5long_sql("'h{h}:' || shingle".format(h=h)), h=h
+        )
+        for h in range(8)
+    )
+
+    return {
+        "normalize_urls": f"""
+            SELECT doc_id,
+                   {url} || '?b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1' AS norm_url
+            FROM documents
+        """,
+        "seen_anti_join": f"""
+            SELECT doc_id, {url} AS url FROM documents WHERE doc_id % 3 <> 0
+        """,
+        "keyword_scorer": f"""
+            SELECT doc_id, {_SQL_KEYWORD} AS score
+            FROM (SELECT doc_id, {url} AS url FROM documents)
+        """,
+        "content_type_scorer": f"""
+            SELECT doc_id, {_SQL_CTYPE} AS score FROM documents
+        """,
+        "freshness_scorer": f"""
+            SELECT doc_id, {_SQL_FRESH} AS score FROM documents
+        """,
+        "domain_authority_scorer": f"""
+            SELECT doc_id, {_SQL_DOMAUTH} AS score FROM documents
+        """,
+        "path_depth_scorer": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 1.0 ELSE 0.5 END AS score
+            FROM documents
+        """,
+        "composite_scorer": f"""
+            SELECT doc_id,
+                   ({_SQL_KEYWORD} + {_SQL_CTYPE} + {_SQL_FRESH} + {_SQL_DOMAUTH}) / 4.0 AS score
+            FROM (SELECT doc_id, {url} AS url FROM documents)
+        """,
+        "pattern_filter": f"""
+            SELECT doc_id, url,
+                   (doc_id % 4 = 0 OR doc_id % 5 = 1) AS passed
+            FROM (SELECT doc_id, {url} AS url FROM documents)
+        """,
+        "content_type_filter": f"""
+            SELECT doc_id, url,
+                   (doc_id % 4 = 0 OR doc_id % 4 = 3) AS passed
+            FROM (SELECT doc_id, {url} AS url FROM documents)
+        """,
+        "domain_filter": f"""
+            SELECT doc_id, url,
+                   NOT (doc_id % 2 = 1 AND doc_id % 7 = 3) AS passed
+            FROM (SELECT doc_id, {url} AS url FROM documents)
+        """,
+        "validity_filter": """
+            SELECT doc_id, (doc_id % 4 = 0) AS passed FROM documents
+        """,
+        "bff_priority_topk": f"""
+            SELECT doc_id, url, CAST(doc_id % 4 AS INT) AS depth,
+                   ({_SQL_KEYWORD} + {_SQL_CTYPE} + {_SQL_FRESH} + {_SQL_DOMAUTH}) / 4.0 AS score
+            FROM (SELECT doc_id, {url} AS url FROM documents)
+            ORDER BY score DESC, depth ASC, url ASC
+            LIMIT 10
+        """,
+        "politeness_budget": f"""
+            SELECT doc_id, domain, rn FROM (
+              SELECT doc_id, domain,
+                     row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn,
+                     CASE WHEN domain = 'd0.example.com' THEN 3 ELSE 2 END AS budget
+              FROM (SELECT doc_id,
+                           'd' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE doc_id % 7 END AS VARCHAR)
+                           || '.example.com' AS domain
+                    FROM documents)
+            ) WHERE rn <= budget
+        """,
+        "fairness_aging": """
+            SELECT event_id, event_type, rn FROM (
+              SELECT event_id, event_type,
+                     row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn <= 5
+        """,
+        "robots_gate": f"""
+            SELECT doc_id, url,
+                   (
+                     (domain = 'd0.example.com' AND (sec = 'shop' OR sec = 'api'))
+                     OR domain = 'd2.example.com'
+                   ) AS blocked
+            FROM (SELECT doc_id, {url} AS url,
+                         'd' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE doc_id % 7 END AS VARCHAR)
+                         || '.example.com' AS domain,
+                         (['blog','docs','api','news','shop'])[CAST(doc_id % 5 AS INT) + 1] AS sec
+                  FROM documents)
+        """,
+        # BFS over the arithmetic graph: min-depth reachability through
+        # success nodes, plus the start-recrawl quirk (start never enters
+        # visited at depth 0 — bfs_strategy.py:231-234,186)
+        "bfs_reach": f"""
+            WITH RECURSIVE
+            n AS (SELECT count(*) AS n FROM documents),
+            nodes AS (
+              SELECT i AS doc_id,
+                     (i % 13 <> 0 AND i % 17 <> 0 AND i % 19 <> 0) AS success
+              FROM range((SELECT n FROM n)) t(i)
+            ),
+            reach(doc_id, depth) AS (
+              SELECT CAST(1 AS BIGINT), 0
+              UNION
+              SELECT CAST((r.doc_id * {BRANCHING} + j) % (SELECT n FROM n) AS BIGINT), r.depth + 1
+              FROM reach r
+              JOIN nodes p ON p.doc_id = r.doc_id AND p.success
+              CROSS JOIN range(1, {BRANCHING} + 1) t(j)
+              WHERE r.depth + 1 <= 2
+            ),
+            firsts AS (
+              SELECT doc_id, MIN(depth) AS depth FROM reach
+              WHERE NOT (doc_id = 1 AND depth > 0)
+              GROUP BY doc_id
+            ),
+            start_recrawl AS (
+              SELECT doc_id, MIN(depth) AS depth FROM reach
+              WHERE doc_id = 1 AND depth > 0
+              GROUP BY doc_id
+            ),
+            emitted AS (
+              SELECT * FROM firsts UNION ALL SELECT * FROM start_recrawl
+            )
+            SELECT {_sql_url('doc_id')} AS url, CAST(depth AS INT) AS depth,
+                   CAST(1 AS BIGINT) AS n
+            FROM emitted
+        """,
+        "bfs_level_metrics": f"""
+            WITH RECURSIVE
+            n AS (SELECT count(*) AS n FROM documents),
+            nodes AS (
+              SELECT i AS doc_id,
+                     (i % 13 <> 0 AND i % 17 <> 0 AND i % 19 <> 0) AS success
+              FROM range((SELECT n FROM n)) t(i)
+            ),
+            reach(doc_id, depth) AS (
+              SELECT CAST(1 AS BIGINT), 0
+              UNION
+              SELECT CAST((r.doc_id * {BRANCHING} + j) % (SELECT n FROM n) AS BIGINT), r.depth + 1
+              FROM reach r
+              JOIN nodes p ON p.doc_id = r.doc_id AND p.success
+              CROSS JOIN range(1, {BRANCHING} + 1) t(j)
+              WHERE r.depth + 1 <= 2
+            ),
+            firsts AS (
+              SELECT doc_id, MIN(depth) AS depth FROM reach
+              WHERE NOT (doc_id = 1 AND depth > 0)
+              GROUP BY doc_id
+            ),
+            start_recrawl AS (
+              SELECT doc_id, MIN(depth) AS depth FROM reach
+              WHERE doc_id = 1 AND depth > 0
+              GROUP BY doc_id
+            ),
+            emitted AS (
+              SELECT * FROM firsts UNION ALL SELECT * FROM start_recrawl
+            )
+            SELECT CAST(e.depth AS INT) AS depth, count(*) AS fetched,
+                   SUM(CASE WHEN nd.success THEN 1 ELSE 0 END) AS succeeded
+            FROM emitted e JOIN nodes nd ON nd.doc_id = e.doc_id
+            GROUP BY e.depth
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_count": f"""
+            SELECT doc_id, CAST(len({_SQL_TOKS}) AS INT) AS n_tokens FROM documents
+        """,
+        "quality_score": r"""
+            SELECT doc_id, round(
+              0.4 * (CASE WHEN length(text) < 50 THEN length(text) / 50.0
+                          WHEN length(text) > 10000 THEN 0.5 ELSE 1.0 END)
+              + 0.3 * greatest(0.0, 1.0 -
+                  5.0 * (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                      / greatest(length(text), 1))
+              + 0.3 * (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                      / greatest(length(text), 1)
+            , 6) AS quality
+            FROM documents
+        """,
+        "lang_id": _lang_id_sql(),
+        "stopword_ratio": f"""
+            SELECT doc_id, round(
+              len(list_filter({_SQL_TOKS},
+                  x -> list_contains(['the','and','of','to','in','a','is','it','for','on'], x)))
+              * 1.0 / greatest(len({_SQL_TOKS}), 1), 6) AS stop_ratio
+            FROM documents
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, {_md5long_sql('text')} AS fp FROM documents
+        """,
+        "minhash_signature": f"""
+            WITH toks AS (
+              SELECT doc_id, {_SQL_TOKS} AS tl FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] AS shingle
+              FROM toks, UNNEST(range(1, greatest(len(tl) - 2, 0) + 1)) t(i)
+            )
+            SELECT doc_id, {minhash_mins} FROM sh GROUP BY doc_id
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, {_SQL_TOKS} AS tl FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(tl) - 2, 0) + 1),
+                       i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]
+                     )) AS shset
+              FROM toks
+            ),
+            flat AS (SELECT doc_id, UNNEST(shset) AS shingle FROM sh),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM flat a JOIN flat b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            )
+            SELECT p.id_a, p.id_b,
+                   round(len(list_intersect(sa.shset, sb.shset)) * 1.0
+                         / greatest(len(list_distinct(sa.shset || sb.shset)), 1), 6) AS jaccard
+            FROM pairs p
+            JOIN sh sa ON sa.doc_id = p.id_a
+            JOIN sh sb ON sb.doc_id = p.id_b
+            WHERE len(list_intersect(sa.shset, sb.shset)) * 1.0
+                  / greatest(len(list_distinct(sa.shset || sb.shset)), 1) >= 0.2
+        """,
+        "simhash": f"""
+            WITH toks AS (
+              SELECT doc_id, UNNEST(list_distinct({_SQL_TOKS})) AS tok FROM documents
+            ),
+            hashes AS (
+              SELECT doc_id, {_md5long_sql('tok')} AS h FROM toks
+            )
+            SELECT doc_id, CAST({simhash_expr} AS BIGINT) AS sh
+            FROM hashes GROUP BY doc_id
+        """,
+        "cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+                   ), 6) AS cos_sim
+            FROM embeddings
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+    }
+
+
+def _lang_id_sql() -> str:
+    from crawl4ai_spark.functions.text import LANG_MARKERS
+
+    hit_exprs = {}
+    for lang in sorted(LANG_MARKERS):
+        terms = []
+        for marker in LANG_MARKERS[lang]:
+            m = marker.replace("'", "''")
+            terms.append(
+                f"(length(padded) - length(replace(padded, '{m}', ''))) / {len(marker)}.0"
+            )
+        hit_exprs[lang] = " + ".join(terms)
+    # Spark's array_max over (hits, lang) structs: highest hits, ties →
+    # lexicographically LARGEST lang
+    langs_desc = sorted(LANG_MARKERS, reverse=True)
+    case = "CASE "
+    for lang in langs_desc[:-1]:
+        case += f"WHEN h_{lang} = m THEN '{lang}' "
+    case += f"ELSE '{langs_desc[-1]}' END"
+    hits_cols = ", ".join(f"{e} AS h_{lang}" for lang, e in hit_exprs.items())
+    greatest = "greatest(" + ", ".join(f"h_{lang}" for lang in hit_exprs) + ")"
+    return f"""
+        SELECT doc_id, CASE WHEN m > 0 THEN {case} ELSE 'und' END AS lang_pred
+        FROM (
+          SELECT doc_id, {greatest} AS m, * FROM (
+            SELECT doc_id, {hits_cols}
+            FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents)
+          )
+        )
     """
-    return {}

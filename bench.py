@@ -1,0 +1,176 @@
+"""Headline benchmark — one JSON line on stdout.
+
+Measures the crawl engine + training-data operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32).
+
+The headline metric is crawl throughput: URLs scheduled+fetched per
+second over a multi-seed BFS frontier on a synthetic corpus ~40× the
+documents table (sf0.1 → ~200k pages, ~24k URLs fetched per run).
+`value` is total wall seconds across the suite (driver contract);
+`urls_per_sec` carries the throughput headline.  Scaling-efficiency
+evidence (local[8] vs local[32]) is produced by tools/scaling_bench.py
+into BENCH notes per BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.functions import dedup as D
+from crawl4ai_spark.functions import similarity as SIM
+from crawl4ai_spark.functions import text as TX
+from crawl4ai_spark.functions.normalize import normalize_udf
+from crawl4ai_spark.functions.scorers import (
+    CompositeScorer,
+    ContentTypeScorer,
+    DomainAuthorityScorer,
+    FreshnessScorer,
+    KeywordRelevanceScorer,
+)
+from crawl4ai_spark.operators.frontier import CrawlEngine, CrawlSpec
+from crawl4ai_spark.session import get_spark
+from crawl4ai_spark.sources import corpus
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CORPUS_MULT = int(os.environ.get("BENCH_CORPUS_MULT", "40"))
+N_SEEDS = int(os.environ.get("BENCH_SEEDS", "2000"))
+
+SCORER = CompositeScorer(
+    scorers=[
+        KeywordRelevanceScorer(keywords=["docs", "blog"], weight=1.0),
+        ContentTypeScorer(
+            type_weights={".html$": 1.0, ".pdf$": 0.8, ".jpg$": 0.6}, weight=1.0
+        ),
+        FreshnessScorer(weight=1.0, current_year=2024),
+        DomainAuthorityScorer(
+            domain_weights={"d0.example.com": 1.0, "d1.example.com": 0.8},
+            default_weight=0.3,
+            weight=1.0,
+        ),
+    ],
+    normalize=True,
+)
+
+
+def main() -> None:
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    n_corpus = n_docs * CORPUS_MULT
+    sf = {"/root/testdata/sf0.001": 0.001, "/root/testdata/sf0.01": 0.01}.get(
+        SF_DIR, 0.1
+    )
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- q1: multi-seed BFS crawl (headline) -------------------------------
+    pages = corpus.build_pages(spark, n_corpus)
+    seeds = [
+        corpus.py_canonical_url((17 * i + 1) % n_corpus) for i in range(N_SEEDS)
+    ]
+    seeds = sorted(set(seeds))
+
+    def bfs():
+        eng = CrawlEngine(
+            spark,
+            pages,
+            CrawlSpec(max_depth=2, strategy="bfs", scorer=SCORER),
+        )
+        res = eng.run(seeds)
+        return res.count()
+
+    n_emitted = timed("bfs_crawl", bfs)
+    extras["bfs_urls_emitted"] = n_emitted
+    extras["urls_per_sec"] = round(n_emitted / timings["bfs_crawl"], 2)
+
+    # --- q2: best-first crawl ----------------------------------------------
+    def bff():
+        eng = CrawlEngine(
+            spark,
+            pages,
+            CrawlSpec(
+                max_depth=2, strategy="best_first", scorer=SCORER, max_pages=200
+            ),
+        )
+        return eng.run(seeds[:50]).count()
+
+    extras["bff_urls_emitted"] = timed("bff_crawl", bff)
+
+    # --- q3: URL normalization throughput (Arrow UDF path) ------------------
+    def normalize():
+        base = spark.range(0, n_corpus).select(
+            corpus.canonical_url_col(F.col("id")).alias("url")
+        )
+        messy = base.select(
+            F.concat(F.col("url"), F.lit("?utm_source=x&b=2&a=1#frag")).alias("href"),
+            F.col("url"),
+        )
+        return messy.select(normalize_udf("href", "url").alias("n")).filter(
+            F.col("n").isNotNull()
+        ).count()
+
+    extras["normalized_urls"] = timed("normalize_200k", normalize)
+
+    # --- q4: minhash LSH near-dup over documents ----------------------------
+    def lsh():
+        sig = D.minhash_signature(docs, num_hashes=16, shingle_n=3)
+        pairs = D.minhash_lsh_pairs(sig, bands=4, rows_per_band=4)
+        return pairs.count()
+
+    extras["lsh_pairs"] = timed("minhash_lsh", lsh)
+
+    # --- q5: embedding cosine top-k -----------------------------------------
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def cos():
+        q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        return SIM.brute_force_topk(emb, list(q), k=10).count()
+
+    timed("cosine_topk", cos)
+
+    # --- q6: text stats sweep -----------------------------------------------
+    def stats():
+        return docs.select(
+            F.sum(TX.token_count(F.col("text"))).alias("t"),
+            F.avg(TX.quality_score(F.col("text"))).alias("q"),
+        ).collect()[0]["t"]
+
+    timed("text_stats", stats)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "crawl_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": CPUS,
+                "corpus_pages": n_corpus,
+                "seeds": len(seeds),
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

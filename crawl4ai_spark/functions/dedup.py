@@ -1,0 +1,191 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are expressed as DataFrame programs (no driver loops):
+
+- exact_dedup        — md5(text) groupBy, keep min doc_id
+- ngram_shingles     — character/word n-gram shingling
+- minhash_signature  — k independent min-hashes over shingles via
+                       md5-derived permutations (cross-engine stable)
+- minhash_lsh_pairs  — band → bucket-join candidate pairs
+- jaccard_pairs      — exact n-gram Jaccard over candidate pairs
+- simhash            — 64-bit simhash from token hashes
+
+Scale notes: minhash/LSH is the 100 TB path — shingle explode is a
+flatMap (no shuffle), signatures aggregate per doc (one shuffle on
+doc_id), banding emits B rows/doc, and the bucket self-join shuffles
+on (band, band_hash) where bucket sizes are bounded; the quadratic
+work happens only inside buckets.  The exact Jaccard confirm runs on
+candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_prefix_long(c: Column, salt: str = "") -> Column:
+    """Stable 60-bit integer hash usable identically in DuckDB:
+    CAST(first 15 md5 hex digits AS bigint)."""
+    base = F.concat(F.lit(salt), c) if salt else c
+    return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min key) per identical text.
+
+    Hash-aggregate on md5(text): one shuffle keyed by the digest, never
+    by the full text (100 TB: digests are 32 bytes; map-side partial
+    aggregation applies)."""
+    return (
+        docs.withColumn("text_md5", F.md5(F.col(text_col)))
+        .groupBy("text_md5")
+        .agg(
+            F.min(key_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingle strings (space-joined, lowercased)."""
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+
+
+def minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(key, sig array<long>): sig[h] = min over shingles of
+    md5(h || shingle).  md5-per-permutation is slower than one xxhash +
+    arithmetic permutations but verifiable in DuckDB; swap the hash
+    family at real scale (same plan shape)."""
+    ex = docs.select(
+        F.col(key_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    mins = [
+        F.min(md5_prefix_long(F.col("shingle"), salt=f"h{h}:")).alias(f"m{h}")
+        for h in range(num_hashes)
+    ]
+    agg = ex.groupBy(key_col).agg(*mins)
+    return agg.select(
+        key_col, F.array(*[F.col(f"m{h}") for h in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    key_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    Each doc emits `bands` (band_id, bucket_hash) rows; the self-join
+    shuffles on the bucket key only."""
+    buckets = signatures.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(key_col, "bb.band", "bb.bucket")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("id_a"),
+            F.col(f"b.{key_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate (id_a, id_b) pairs."""
+    sh = docs.select(
+        F.col(key_col),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(key_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(key_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / F.greatest(F.col("uni"), F.lit(1)).cast("double")).alias("jaccard"),
+        )
+    )
+    return j
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash from word-token md5 hashes.
+
+    For each bit position, sum +1/-1 over tokens' bit values and take
+    the sign.  Pure Column math (aggregate over the token array) — no
+    UDF, no shuffle."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+    )
+    hashes = F.transform(toks, lambda t: md5_prefix_long(t))
+    # 60 usable bits from md5_prefix_long; build the simhash over 60
+    usable = min(bits, 60)
+    bit_cols = []
+    for i in range(usable):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).cast("long") * F.lit(2**i).cast("long"))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

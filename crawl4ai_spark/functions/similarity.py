@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (array<float/double>).
+
+- cosine / dot product as Column expressions (F.zip_with + F.aggregate
+  — JVM-side, no UDF)
+- brute_force_topk    — exact cosine top-k vs a query vector
+- lsh_bucket_topk     — random-hyperplane (SimHash) bucketed ANN: the
+  scale path.  Buckets are computed per row with the same md5-derived
+  deterministic hyperplanes, so bucketing is reproducible anywhere.
+
+Scale notes: brute force is one scan + one top-k (per-partition top-k
+then a single-reducer merge — F.row_number over a global sort is
+avoided via `orderBy + limit`, which Spark executes as TakeOrdered);
+LSH reduces the scan to matching buckets; for 100 TB, signatures are
+precomputed once and stored alongside the vectors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: scan → score → TakeOrdered(k)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = vectors.select(
+        F.col(key_col),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(key_col)).limit(k)
+
+
+def _hyperplane(dim: int, plane_id: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 —
+    reproducible across engines and sessions."""
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"hp:{seed}:{plane_id}:{d}".encode()).hexdigest()
+        out.append(int(h[:8], 16) / 0x80000000 - 1.0)  # [-1, 1)
+    return out
+
+
+def rh_signature(vec: Column, dim: int, planes: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec · plane_i)."""
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p, seed)])
+        bit = F.when(dot(vec, plane) > 0, F.lit(1)).otherwise(F.lit(0))
+        sig = sig + bit.cast("long") * F.lit(2**p).cast("long")
+    return sig
+
+
+def lsh_bucket_topk(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k restricted to the query's hyperplane bucket (hamming
+    distance 0) — recall grows with multi-probe (≤1 bit flips here)."""
+    dim = len(query)
+    q = [float(x) for x in query]
+    # query signature computed driver-side with the same hyperplanes
+    qsig = 0
+    for p in range(planes):
+        plane = _hyperplane(dim, p, seed)
+        if sum(a * b for a, b in zip(q, plane)) > 0:
+            qsig |= 1 << p
+    probe_sigs = [qsig] + [qsig ^ (1 << p) for p in range(planes)]
+    sig = rh_signature(F.col(vec_col).cast("array<double>"), dim, planes, seed)
+    qcol = F.array(*[F.lit(x) for x in q])
+    candidates = vectors.withColumn("bucket", sig).filter(
+        F.col("bucket").isin(probe_sigs)
+    )
+    scored = candidates.select(
+        F.col(key_col),
+        cosine(F.col(vec_col).cast("array<double>"), qcol).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(key_col)).limit(k)

@@ -117,13 +117,21 @@ class CrawlEngine:
 
     # -- public API ---------------------------------------------------------
 
-    def run(self, start_url: str) -> DataFrame:
+    def run(self, start_url: str | list[str]) -> DataFrame:
+        """Crawl from one seed (reference semantics) or a seed list.
+
+        Multi-seed is the scale mode: all seeds enter the round-0
+        frontier and share one URL-seen set — the production-crawler
+        behavior (the reference instead runs deep crawls sequentially
+        per seed, async_webcrawler.py:1026-1052; our oracle implements
+        the shared-frontier semantics for parity testing)."""
+        seeds = [start_url] if isinstance(start_url, str) else list(start_url)
         if self.spec.strategy == "bfs":
-            self._run_bfs(start_url)
+            self._run_bfs(seeds)
         elif self.spec.strategy == "best_first":
-            self._run_bff(start_url)
+            self._run_bff(seeds)
         elif self.spec.strategy == "dfs":
-            self._run_dfs(start_url)
+            self._run_dfs(seeds)
         else:
             raise ValueError(self.spec.strategy)
         return self.results()
@@ -188,7 +196,7 @@ class CrawlEngine:
         )
         return self._checkpoint(emitted)
 
-    def _discover_candidates(self, parents: DataFrame) -> DataFrame:
+    def _discover_candidates(self, parents: DataFrame, carry: tuple = ()) -> DataFrame:
         """explode links → normalize → validity + filter chain + score.
 
         ``parents`` needs: url (source), emit_seq, depth, links.
@@ -199,6 +207,7 @@ class CrawlEngine:
             F.col("url").alias("src_url"),
             "emit_seq",
             "depth",
+            *carry,
             F.posexplode_outer("links").alias("link_idx", "link"),
         ).filter(F.col("link").isNotNull())
         if not spec.include_external:
@@ -223,12 +232,13 @@ class CrawlEngine:
 
     # -- BFS ------------------------------------------------------------------
 
-    def _run_bfs(self, start_url: str) -> None:
+    def _run_bfs(self, seeds: list[str]) -> None:
         spark = self.spark
         spec = self.spec
-        seen = SeenStore(spark)  # BFS visited: discovery-time set, start NOT included
+        seen = SeenStore(spark)  # BFS visited: discovery-time set, seeds NOT included
+        self.seen_store = seen
         frontier = spark.createDataFrame(
-            [(start_url, None, 0, 0.0, 0)], FRONTIER_SCHEMA
+            [(s, None, 0, 0.0, i) for i, s in enumerate(seeds)], FRONTIER_SCHEMA
         )
         politeness: PolitenessState | None = (
             PolitenessState(spark, spec.politeness)
@@ -288,7 +298,15 @@ class CrawlEngine:
                 "crawled_incl",
                 F.sum(F.col("success").cast("long")).over(w_cum),
             )
-            cand = self._discover_candidates(parents)
+            # a parent whose remaining capacity is ≤ 0 skips link_discovery
+            # entirely — its candidates never reach the visited set
+            # (bfs_strategy.py:148-152)
+            if spec.max_pages != math.inf:
+                parents = parents.filter(
+                    (F.lit(int(spec.max_pages)) - F.lit(prior_crawled)
+                     - F.col("crawled_incl")) >= 1
+                )
+            cand = self._discover_candidates(parents, carry=("crawled_incl",))
             cand = seen.anti_join(cand, "norm_url")
             # first-occurrence dedupe within the level == the reference's
             # sequential visited.add at discovery time (bfs_strategy.py:186)
@@ -354,24 +372,25 @@ class CrawlEngine:
 
     # -- Best-first -----------------------------------------------------------
 
-    def _run_bff(self, start_url: str) -> None:
+    def _run_bff(self, seeds: list[str]) -> None:
         spark = self.spark
         spec = self.spec
         seen = SeenStore(spark)  # BFF visited: pop-time set
-        start_score = 0.0
-        if spec.scorer is not None:
-            start_score = (
-                spark.createDataFrame([(start_url,)], "url string")
-                .select(spec.scorer.column("url").alias("s"))
-                .collect()[0]["s"]
-            )
-        queue_schema = (
-            "neg_score double, depth int, url string, parent_url string, enq_seq long"
+        self.seen_store = seen
+        seed_df = spark.createDataFrame(
+            [(s, i) for i, s in enumerate(seeds)], "url string, enq_seq long"
         )
-        queue = spark.createDataFrame(
-            [(-start_score, 0, start_url, None, 0)], queue_schema
+        score_col = (
+            spec.scorer.column(F.col("url")) if spec.scorer else F.lit(0.0)
         )
-        enq_count = 1
+        queue = seed_df.select(
+            (-score_col).alias("neg_score"),
+            F.lit(0).alias("depth"),
+            "url",
+            F.lit(None).cast("string").alias("parent_url"),
+            "enq_seq",
+        )
+        enq_count = len(seeds)
         round_no = 0
         # Heap order = the reference's tuple (-score, depth, url, parent)
         # (bff_strategy.py:228,266,325). NULL parent sorts first — the
@@ -498,19 +517,22 @@ class CrawlEngine:
 
     # -- DFS (strict parity mode: one URL per round) ---------------------------
 
-    def _run_dfs(self, start_url: str) -> None:
+    def _run_dfs(self, seeds: list[str]) -> None:
         spark = self.spark
         spec = self.spec
         dfs_seen = SeenStore(spark)
-        dfs_seen.add(spark.createDataFrame([(start_url,)], "url string"))
+        self.seen_store = dfs_seen
+        dfs_seen.add(spark.createDataFrame([(s,) for s in seeds], "url string"))
         visited: set[str] = set()  # bounded by pages actually crawled
+        self.visited_set = visited
         stack_schema = (
             "url string, parent_url string, depth int, score double, pos long"
         )
         stack = spark.createDataFrame(
-            [(start_url, None, 0, 0.0, 0)], stack_schema
+            [(s, None, 0, 0.0, len(seeds) - i) for i, s in enumerate(seeds)],
+            stack_schema,
         )
-        pos_counter = 1
+        pos_counter = len(seeds) + 1
         round_no = 0
         while round_no < spec.max_rounds:
             stack = self._checkpoint(stack)

@@ -97,13 +97,14 @@ def _fetch(pages: dict, url: str) -> tuple[bool, int]:
     return page.success, page.status_code
 
 
-def crawl_oracle(pages: dict, start_url: str, spec: CrawlSpec) -> tuple[list[Emission], set]:
+def crawl_oracle(pages: dict, start_url, spec: CrawlSpec) -> tuple[list[Emission], set]:
+    seeds = [start_url] if isinstance(start_url, str) else list(start_url)
     if spec.strategy == "bfs":
-        return _bfs(pages, start_url, spec)
+        return _bfs(pages, seeds, spec)
     if spec.strategy == "dfs":
-        return _dfs(pages, start_url, spec)
+        return _dfs(pages, seeds, spec)
     if spec.strategy == "best_first":
-        return _bff(pages, start_url, spec)
+        return _bff(pages, seeds, spec)
     raise ValueError(spec.strategy)
 
 
@@ -146,10 +147,10 @@ def _bfs_discovery(
         depths[norm] = next_depth
 
 
-def _bfs(pages, start_url, spec):
+def _bfs(pages, seeds, spec):
     visited: set = set()
-    current_level = [(start_url, None, 0.0)]
-    depths = {start_url: 0}
+    current_level = [(s, None, 0.0) for s in seeds]
+    depths = {s: 0 for s in seeds}
     emissions: list[Emission] = []
     pages_crawled = 0
     seq = 0
@@ -173,11 +174,11 @@ def _bfs(pages, start_url, spec):
     return emissions, visited
 
 
-def _dfs(pages, start_url, spec):
+def _dfs(pages, seeds, spec):
     visited: set = set()
-    dfs_seen = {start_url}
-    stack = [(start_url, None, 0, 0.0)]
-    depths = {start_url: 0}
+    dfs_seen = set(seeds)
+    stack = [(s, None, 0, 0.0) for s in reversed(seeds)]
+    depths = {s: 0 for s in seeds}
     emissions: list[Emission] = []
     pages_crawled = 0
     seq = 0
@@ -206,11 +207,12 @@ def _dfs(pages, start_url, spec):
     return emissions, visited
 
 
-def _bff(pages, start_url, spec):
+def _bff(pages, seeds, spec):
     visited: set = set()
-    depths = {start_url: 0}
-    initial = _score(spec, start_url)
-    queue: list = [(-initial, 0, start_url, "")]  # "" sorts like ref's None-safe tie
+    depths = {s: 0 for s in seeds}
+    queue: list = []  # "" parent sorts like ref's None-safe tie
+    for s in seeds:
+        heappush(queue, (-_score(spec, s), 0, s, ""))
     emissions: list[Emission] = []
     pages_crawled = 0
     seq = 0

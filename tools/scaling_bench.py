@@ -1,0 +1,74 @@
+"""Two-parallelism scaling evidence (BASELINE.md criterion).
+
+Runs the identical bench job at local[N] and local[4N] (fresh JVM per
+level — Spark master is fixed at session creation) and reports both
+throughputs plus scaling efficiency = (T_4N / T_N) / 4.
+
+Usage: python tools/scaling_bench.py [N] [sf_dir]
+Writes/updates BENCH_SCALING.md and prints a JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def run_level(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=ROOT,
+        timeout=3600,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    lo = run_level(n, sf_dir)
+    hi = run_level(4 * n, sf_dir)
+    t_lo = lo["urls_per_sec"]
+    t_hi = hi["urls_per_sec"]
+    eff = round((t_hi / t_lo) / 4, 3)
+    result = {
+        "metric": "scaling_efficiency",
+        "n_cpus": n,
+        "n4_cpus": 4 * n,
+        "urls_per_sec_n": t_lo,
+        "urls_per_sec_4n": t_hi,
+        "efficiency": eff,
+        "sf_dir": sf_dir,
+        "bench_n": lo,
+        "bench_4n": hi,
+    }
+    md = ROOT / "BENCH_SCALING.md"
+    md.write_text(
+        "# Scaling evidence (N vs 4N parallelism)\n\n"
+        "Same job, same input, two parallelism levels (sandbox stand-in\n"
+        "for two cluster sizes — BASELINE.md criterion).\n\n"
+        f"| level | cores | URLs/sec | suite wall s |\n|---|---|---|---|\n"
+        f"| N | {n} | {t_lo} | {lo['value']} |\n"
+        f"| 4N | {4*n} | {t_hi} | {hi['value']} |\n\n"
+        f"**Scaling efficiency = (T_4N / T_N) / 4 = {eff}**\n\n"
+        f"Raw: `{json.dumps({k: v for k, v in result.items() if k not in ('bench_n','bench_4n')})}`\n"
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
