@@ -349,8 +349,11 @@ def q_token_count(spark, sf_dir):
 
 
 def q_quality_score(spark, sf_dir):
+    # floor(q*1e6): cross-engine-stable fixed-point (duckdb's round()
+    # goes through the decimal repr and can differ by 1 ulp)
     return _docs(spark, sf_dir).select(
-        "doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("quality")
+        "doc_id",
+        F.floor(TX.quality_score(F.col("text")) * 1e6).cast("long").alias("quality"),
     )
 
 
@@ -465,6 +468,129 @@ def q_politeness_backoff(spark, sf_dir):
     )
 
 
+def q_image_validation(spark, sf_dir):
+    """J8 image invariant: decode fetched bytes, PSNR vs reference
+    pixels + caption/phash equality (rows-only: binary decode is not
+    SQL-expressible)."""
+    from crawl4ai_spark.functions.images import validate_images
+    from crawl4ai_spark.sources.images import build_images, reference_table
+
+    fetched = build_images(spark, 60)
+    ref = reference_table(spark, 60)
+    v = validate_images(fetched, ref)
+    return v.select(
+        "image_id",
+        F.floor(F.col("psnr_db")).cast("long").alias("psnr_floor_db"),
+        "pixels_ok",
+        "caption_ok",
+        "phash_match",
+    )
+
+
+def q_image_score(spark, sf_dir):
+    """C10 image score rubric over synthetic MediaItem metadata
+    (content_scraping_strategy.py:440-467)."""
+    from crawl4ai_spark.functions.images import image_score
+
+    du = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    widths = F.array(*[F.lit(x) for x in [32, 64, 96, 128, 256]])
+    heights = F.array(*[F.lit(x) for x in [32, 48, 96, 64, 192]])
+    fmts = F.array(F.lit("jpeg"), F.lit("png"), F.lit("tiff"))
+    meta = du.select(
+        "doc_id",
+        F.element_at(widths, (i % 5 + 1).cast("int")).alias("w"),
+        F.element_at(heights, (i % 5 + 1).cast("int")).alias("h"),
+        F.when(i % 3 != 0, F.lit("alt text")).otherwise(F.lit(None)).alias("alt"),
+        (i % 10).cast("int").alias("index"),
+        F.lit(10).alias("total"),
+        F.element_at(fmts, (i % 3 + 1).cast("int")).alias("fmt"),
+        (i % 4 == 0).alias("has_srcset"),
+        (i % 5 == 0).alias("in_picture"),
+    )
+    return meta.select(
+        "doc_id",
+        image_score(
+            F.col("w"), F.col("h"), F.col("alt"), F.col("index"),
+            F.col("total"), F.col("fmt"), F.col("has_srcset"), F.col("in_picture"),
+        ).alias("img_score"),
+    )
+
+
+def q_head_bm25(spark, sf_dir):
+    """F5 ContentRelevanceFilter BM25 (simplified IDF) over doc text."""
+    from crawl4ai_spark.sources.seeder import head_bm25
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.floor(head_bm25(F.col("text"), "data spark table") * 1e6)
+        .cast("long")
+        .alias("bm25_fp"),
+    )
+
+
+def q_seeder_bm25(spark, sf_dir):
+    """A4 corpus BM25 (rank_bm25 semantics: Okapi idf + epsilon floor,
+    min-max normalized) — the seeder's relevance scoring."""
+    from crawl4ai_spark.sources.seeder import corpus_bm25
+
+    out = corpus_bm25(_docs(spark, sf_dir), "data spark table")
+    return out.select(
+        "doc_id",
+        F.floor(F.col("relevance_score") * 1e6).cast("long").alias("rel_fp"),
+    )
+
+
+def q_nonsense_url_filter(spark, sf_dir):
+    """F8 seeder nonsense-URL filter (robots/sitemap/utility files)."""
+    from crawl4ai_spark.sources.seeder import is_nonsense_url
+
+    du = _doc_urls(spark, sf_dir)
+    suffixes = F.array(
+        F.lit(""), F.lit("/robots.txt"), F.lit("/sitemap.xml"),
+        F.lit("/favicon.ico"), F.lit("/manifest.json"), F.lit("/page"),
+        F.lit("/sitemap_news.xml"),
+    )
+    test_url = F.concat(
+        F.lit("https://d0.example.com"),
+        F.element_at(suffixes, (F.col("doc_id") % 7 + 1).cast("int")),
+    )
+    return du.select(
+        "doc_id", is_nonsense_url(test_url).alias("nonsense")
+    )
+
+
+def q_seed_pipeline(spark, sf_dir):
+    """S5 seeder pipeline: union sources → nonsense filter → dedupe →
+    BM25 relevance sort → limit(max_urls)."""
+    from crawl4ai_spark.sources.seeder import corpus_bm25, seed_pipeline
+
+    docs = _docs(spark, sf_dir)
+    urls = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    # two overlapping "sources" (sitemap ∪ common-crawl analog) + junk
+    src_a = urls.filter(F.col("doc_id") % 2 == 0)
+    src_b = urls.filter(F.col("doc_id") % 3 == 0)
+    junk = spark.range(5).select(
+        (F.lit(-1) - F.col("id")).alias("doc_id"),
+        F.concat(
+            F.lit("https://d0.example.com/x"), F.col("id").cast("string"),
+            F.lit("/robots.txt"),
+        ).alias("url"),
+    )
+    rel = corpus_bm25(docs, "data spark table").select(
+        "doc_id", "relevance_score"
+    )
+    urls_rel = urls.join(rel, "doc_id").select("url", "relevance_score")
+    out = seed_pipeline(
+        [src_a.select("url"), src_b.select("url"), junk.select("url")],
+        max_urls=25,
+        relevance=urls_rel,
+    )
+    return out.select(
+        "url", F.floor(F.col("relevance_score") * 1e6).cast("long").alias("rel_fp")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BFS deep crawl (depth 2) over the synthetic corpus
     sized from sf0.001 documents."""
@@ -506,6 +632,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "image_validation": q_image_validation,
+        "image_score": q_image_score,
+        "head_bm25": q_head_bm25,
+        "seeder_bm25": q_seeder_bm25,
+        "nonsense_url_filter": q_nonsense_url_filter,
+        "seed_pipeline": q_seed_pipeline,
     }
     return qs
 
@@ -626,9 +758,9 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE
             n AS (SELECT count(*) AS n FROM documents),
             nodes AS (
-              SELECT i AS doc_id,
-                     (i % 13 <> 0 AND i % 17 <> 0 AND i % 19 <> 0) AS success
-              FROM range((SELECT n FROM n)) t(i)
+              SELECT doc_id,
+                     (doc_id % 13 <> 0 AND doc_id % 17 <> 0 AND doc_id % 19 <> 0) AS success
+              FROM documents
             ),
             reach(doc_id, depth) AS (
               SELECT CAST(1 AS BIGINT), 0
@@ -660,9 +792,9 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE
             n AS (SELECT count(*) AS n FROM documents),
             nodes AS (
-              SELECT i AS doc_id,
-                     (i % 13 <> 0 AND i % 17 <> 0 AND i % 19 <> 0) AS success
-              FROM range((SELECT n FROM n)) t(i)
+              SELECT doc_id,
+                     (doc_id % 13 <> 0 AND doc_id % 17 <> 0 AND doc_id % 19 <> 0) AS success
+              FROM documents
             ),
             reach(doc_id, depth) AS (
               SELECT CAST(1 AS BIGINT), 0
@@ -699,16 +831,18 @@ def oracle_sql() -> dict[str, str]:
         "token_count": f"""
             SELECT doc_id, CAST(len({_SQL_TOKS}) AS INT) AS n_tokens FROM documents
         """,
+        # parenthesization mirrors the Column expression exactly — float
+        # addition/multiplication order matters for bit-equality
         "quality_score": r"""
-            SELECT doc_id, round(
+            SELECT doc_id, CAST(floor((
               0.4 * (CASE WHEN length(text) < 50 THEN length(text) / 50.0
                           WHEN length(text) > 10000 THEN 0.5 ELSE 1.0 END)
               + 0.3 * greatest(0.0, 1.0 -
-                  5.0 * (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
-                      / greatest(length(text), 1))
-              + 0.3 * (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
-                      / greatest(length(text), 1)
-            , 6) AS quality
+                  ((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                     / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0)
+              + 0.3 * ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                     / greatest(CAST(length(text) AS DOUBLE), 1.0))
+            ) * 1e6) AS BIGINT) AS quality
             FROM documents
         """,
         "lang_id": _lang_id_sql(),
@@ -769,6 +903,134 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST({simhash_expr} AS BIGINT) AS sh
             FROM hashes GROUP BY doc_id
+        """,
+        "head_bm25": """
+            WITH t AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            )
+            SELECT doc_id, CAST(floor((0.0 + ln((2.0 / (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) + 0.5)) + 1.0) * (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) * 2.2 / (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / 1000.0)))) + ln((2.0 / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) + 0.5)) + 1.0) * (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) * 2.2 / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / 1000.0)))) + ln((2.0 / (CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) + 0.5)) + 1.0) * (CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) * 2.2 / (CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / 1000.0))))) * 1e6) AS BIGINT) AS bm25_fp FROM t
+        """,
+        "seeder_bm25": """
+            WITH 
+            toks AS (
+              SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+            idf_all AS (
+              SELECT term, ln(((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5)) AS idf
+              FROM tdf
+            ),
+            avg_idf AS (SELECT avg(idf) AS a FROM idf_all),
+            idf_q AS (
+              SELECT term,
+                     CASE WHEN idf >= 0 THEN idf ELSE 0.25 * (SELECT a FROM avg_idf) END AS idf
+              FROM idf_all WHERE term IN ('data','spark','table')
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ('data','spark','table') GROUP BY doc_id, term
+            ),
+            parts AS (
+              SELECT t.doc_id, t.term,
+                     q.idf * (CAST(t.tf AS DOUBLE) * 2.5
+                         / (CAST(t.tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / (SELECT avgdl FROM stats)))) AS part
+              FROM tf t JOIN idf_q q USING (term) JOIN dl d USING (doc_id)
+            ),
+            raw AS (
+              SELECT doc_id,
+                     0.0 + coalesce(MAX(CASE WHEN term = 'data' THEN part END), 0.0)
+                         + coalesce(MAX(CASE WHEN term = 'spark' THEN part END), 0.0)
+                         + coalesce(MAX(CASE WHEN term = 'table' THEN part END), 0.0) AS bm25
+              FROM parts GROUP BY doc_id
+            ),
+            bm25 AS (
+              SELECT doc_id, coalesce(r.bm25, 0.0) AS bm25
+              FROM (SELECT doc_id FROM documents) LEFT JOIN raw r USING (doc_id)
+            ),
+            mm AS (SELECT min(bm25) AS lo, max(bm25) AS hi FROM bm25),
+            rel AS (
+              SELECT doc_id,
+                     CASE WHEN (SELECT hi FROM mm) = (SELECT lo FROM mm) THEN 0.5
+                          ELSE (bm25 - (SELECT lo FROM mm)) / ((SELECT hi FROM mm) - (SELECT lo FROM mm)) END AS relevance_score
+              FROM bm25
+            )
+            SELECT doc_id, CAST(floor(relevance_score * 1e6) AS BIGINT) AS rel_fp FROM rel
+        """,
+        "nonsense_url_filter": """
+            SELECT doc_id, (CAST(doc_id % 7 AS INT) IN (1, 2, 3, 4, 6)) AS nonsense
+            FROM documents
+        """,
+        "seed_pipeline": f"""
+            WITH 
+            toks AS (
+              SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+            idf_all AS (
+              SELECT term, ln(((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5)) AS idf
+              FROM tdf
+            ),
+            avg_idf AS (SELECT avg(idf) AS a FROM idf_all),
+            idf_q AS (
+              SELECT term,
+                     CASE WHEN idf >= 0 THEN idf ELSE 0.25 * (SELECT a FROM avg_idf) END AS idf
+              FROM idf_all WHERE term IN ('data','spark','table')
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ('data','spark','table') GROUP BY doc_id, term
+            ),
+            parts AS (
+              SELECT t.doc_id, t.term,
+                     q.idf * (CAST(t.tf AS DOUBLE) * 2.5
+                         / (CAST(t.tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / (SELECT avgdl FROM stats)))) AS part
+              FROM tf t JOIN idf_q q USING (term) JOIN dl d USING (doc_id)
+            ),
+            raw AS (
+              SELECT doc_id,
+                     0.0 + coalesce(MAX(CASE WHEN term = 'data' THEN part END), 0.0)
+                         + coalesce(MAX(CASE WHEN term = 'spark' THEN part END), 0.0)
+                         + coalesce(MAX(CASE WHEN term = 'table' THEN part END), 0.0) AS bm25
+              FROM parts GROUP BY doc_id
+            ),
+            bm25 AS (
+              SELECT doc_id, coalesce(r.bm25, 0.0) AS bm25
+              FROM (SELECT doc_id FROM documents) LEFT JOIN raw r USING (doc_id)
+            ),
+            mm AS (SELECT min(bm25) AS lo, max(bm25) AS hi FROM bm25),
+            rel AS (
+              SELECT doc_id,
+                     CASE WHEN (SELECT hi FROM mm) = (SELECT lo FROM mm) THEN 0.5
+                          ELSE (bm25 - (SELECT lo FROM mm)) / ((SELECT hi FROM mm) - (SELECT lo FROM mm)) END AS relevance_score
+              FROM bm25
+            ),
+            urls AS (
+              SELECT doc_id, {url} AS url FROM documents
+              WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+            )
+            SELECT u.url, CAST(floor(r.relevance_score * 1e6) AS BIGINT) AS rel_fp
+            FROM urls u JOIN rel r USING (doc_id)
+            ORDER BY r.relevance_score DESC, u.url ASC
+            LIMIT 25
+        """,
+        "image_score": """
+            SELECT doc_id,
+                (CASE WHEN ([32,64,96,128,256])[CAST(doc_id % 5 AS INT) + 1] > 150 THEN 1 ELSE 0 END)
+              + (CASE WHEN ([32,48,96,64,192])[CAST(doc_id % 5 AS INT) + 1] > 150 THEN 1 ELSE 0 END)
+              + (CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN (doc_id % 10) / 10.0 < 0.5 THEN 1 ELSE 0 END)
+              + (CASE WHEN (['jpeg','png','tiff'])[CAST(doc_id % 3 AS INT) + 1] IN ('jpeg','png') THEN 1 ELSE 0 END)
+              + (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+              AS img_score
+            FROM documents
         """,
         "cosine_topk": """
             SELECT vec_id,

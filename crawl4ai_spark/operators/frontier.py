@@ -98,6 +98,14 @@ class CrawlSpec:
     politeness: PolitenessSpec | None = None
     robots: RobotsRules | None = None
     max_rounds: int = 10_000  # safety valve
+    # URL-seen membership: "exact" (anti-join) or "bloom" (partitioned
+    # bloom-segment probe, then exact confirm — the 10^10 path)
+    seen_mode: str = "exact"
+    # resume from a reference-shape state dict (bfs_strategy.py:275-284,
+    # dfs_strategy.py:106-120, bff_strategy.py:332-345)
+    resume_state: dict | None = None
+    # directory for per-round snapshots (plans/checkpoint.py); None = off
+    checkpoint_dir: str | None = None
 
 
 class CrawlEngine:
@@ -114,6 +122,8 @@ class CrawlEngine:
         self._emit_count = 0
         self._pages_crawled = 0
         self._metrics: list[dict] = []
+        self._pending_rows: list[dict] = []  # final frontier/stack/queue
+        self._depths: dict[str, int] = {}
 
     # -- public API ---------------------------------------------------------
 
@@ -155,6 +165,13 @@ class CrawlEngine:
 
     def _checkpoint(self, df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True)
+
+    def _make_seen(self):
+        if self.spec.seen_mode == "bloom":
+            from crawl4ai_spark.operators.seen_bloom import BloomSeenStore
+
+            return BloomSeenStore(self.spark)
+        return SeenStore(self.spark)
 
     def _fetch(self, frontier: DataFrame) -> DataFrame:
         """frontier ⋈ corpus (left) + robots gate. Missing page ⇒
@@ -235,16 +252,34 @@ class CrawlEngine:
     def _run_bfs(self, seeds: list[str]) -> None:
         spark = self.spark
         spec = self.spec
-        seen = SeenStore(spark)  # BFS visited: discovery-time set, seeds NOT included
+        seen = self._make_seen()  # BFS visited: discovery-time set, seeds NOT included
         self.seen_store = seen
-        frontier = spark.createDataFrame(
-            [(s, None, 0, 0.0, i) for i, s in enumerate(seeds)], FRONTIER_SCHEMA
-        )
+        rs = spec.resume_state
+        if rs:
+            visited = rs.get("visited", [])
+            if visited:
+                seen.add(spark.createDataFrame([(u,) for u in visited], "url string"))
+            depths = dict(rs.get("depths", {}))
+            self._depths.update(depths)
+            self._pages_crawled = int(rs.get("pages_crawled", 0))
+            frontier = spark.createDataFrame(
+                [
+                    (it["url"], it.get("parent_url"), int(depths.get(it["url"], 0)), 0.0, i)
+                    for i, it in enumerate(rs.get("pending", []))
+                ],
+                FRONTIER_SCHEMA,
+            )
+        else:
+            frontier = spark.createDataFrame(
+                [(s, None, 0, 0.0, i) for i, s in enumerate(seeds)], FRONTIER_SCHEMA
+            )
+            self._depths.update({s: 0 for s in seeds})
         politeness: PolitenessState | None = (
             PolitenessState(spark, spec.politeness)
             if spec.politeness is not None
             else None
         )
+        self.politeness_state = politeness
         round_no = 0
         while round_no < spec.max_rounds:
             if self._pages_crawled >= spec.max_pages:
@@ -369,28 +404,99 @@ class CrawlEngine:
                 next_frontier = deferred.unionByName(next_frontier)
             frontier = next_frontier
             round_no += 1
+            if spec.checkpoint_dir:
+                self._snapshot_round(round_no, frontier=frontier)
+
+        self._pending_rows = [
+            {"url": r["url"], "parent_url": r["parent_url"], "depth": r["depth"]}
+            for r in frontier.orderBy("seq").collect()
+        ]
+
+    def _snapshot_round(self, round_no: int, **dfs: DataFrame) -> None:
+        from crawl4ai_spark.plans.checkpoint import snapshot_round
+
+        snapshot_round(
+            self.spec.checkpoint_dir, round_no,
+            pages_crawled=self._pages_crawled,
+            strategy=self.spec.strategy,
+            seen=self.seen_store.df,
+            metrics=self._metrics,
+            **dfs,
+        )
+
+    def export_state(self) -> dict:
+        """Reference-shape resume state (bfs_strategy.py:275-284 etc.)."""
+        strategy = self.spec.strategy
+        res = self.results().collect()
+        depths = dict(self._depths)
+        for r in res:
+            depths[r["url"]] = r["depth"]
+        for it in self._pending_rows:
+            depths.setdefault(it["url"], it["depth"])
+        visited = self.seen_store.urls()
+        state = {
+            "strategy_type": {"bfs": "bfs", "dfs": "dfs", "best_first": "best_first"}[strategy],
+            "visited": visited,
+            "depths": depths,
+            "pages_crawled": self._pages_crawled,
+            "cancelled": False,
+        }
+        if strategy == "bfs":
+            state["pending"] = [
+                {"url": it["url"], "parent_url": it["parent_url"]}
+                for it in self._pending_rows
+            ]
+        elif strategy == "dfs":
+            state["visited"] = sorted(self.visited_set)
+            state["dfs_seen"] = visited
+            state["stack"] = self._pending_rows  # bottom → top
+        else:
+            state["queue_items"] = self._pending_rows
+        return state
 
     # -- Best-first -----------------------------------------------------------
 
     def _run_bff(self, seeds: list[str]) -> None:
         spark = self.spark
         spec = self.spec
-        seen = SeenStore(spark)  # BFF visited: pop-time set
+        seen = self._make_seen()  # BFF visited: pop-time set
         self.seen_store = seen
-        seed_df = spark.createDataFrame(
-            [(s, i) for i, s in enumerate(seeds)], "url string, enq_seq long"
+        queue_schema = (
+            "neg_score double, depth int, url string, parent_url string, enq_seq long"
         )
-        score_col = (
-            spec.scorer.column(F.col("url")) if spec.scorer else F.lit(0.0)
-        )
-        queue = seed_df.select(
-            (-score_col).alias("neg_score"),
-            F.lit(0).alias("depth"),
-            "url",
-            F.lit(None).cast("string").alias("parent_url"),
-            "enq_seq",
-        )
-        enq_count = len(seeds)
+        rs = spec.resume_state
+        if rs:
+            visited = rs.get("visited", [])
+            if visited:
+                seen.add(spark.createDataFrame([(u,) for u in visited], "url string"))
+            self._depths.update(rs.get("depths", {}))
+            self._pages_crawled = int(rs.get("pages_crawled", 0))
+            items = rs.get("queue_items", [])
+            queue = spark.createDataFrame(
+                [
+                    (float(it["score"]), int(it["depth"]), it["url"],
+                     it.get("parent_url"), i)
+                    for i, it in enumerate(items)
+                ],
+                queue_schema,
+            )
+            enq_count = len(items)
+        else:
+            seed_df = spark.createDataFrame(
+                [(s, i) for i, s in enumerate(seeds)], "url string, enq_seq long"
+            )
+            score_col = (
+                spec.scorer.column(F.col("url")) if spec.scorer else F.lit(0.0)
+            )
+            queue = seed_df.select(
+                (-score_col).alias("neg_score"),
+                F.lit(0).cast("int").alias("depth"),
+                "url",
+                F.lit(None).cast("string").alias("parent_url"),
+                "enq_seq",
+            )
+            enq_count = len(seeds)
+            self._depths.update({s: 0 for s in seeds})
         round_no = 0
         # Heap order = the reference's tuple (-score, depth, url, parent)
         # (bff_strategy.py:228,266,325). NULL parent sorts first — the
@@ -511,28 +617,61 @@ class CrawlEngine:
             self._emit_count += n_emitted
             emitted.unpersist()
             queue = queue.unionByName(new_items)
+            if spec.checkpoint_dir:
+                self._snapshot_round(round_no + 1, queue=queue)
             if reached_cap:
                 break
             round_no += 1
+
+
+        self._pending_rows = [
+            {"score": r["neg_score"], "depth": r["depth"], "url": r["url"],
+             "parent_url": r["parent_url"]}
+            for r in queue.orderBy(
+                F.asc("neg_score"), F.asc("depth"), F.asc("url"),
+                F.asc_nulls_first("parent_url")
+            ).collect()
+        ]
 
     # -- DFS (strict parity mode: one URL per round) ---------------------------
 
     def _run_dfs(self, seeds: list[str]) -> None:
         spark = self.spark
         spec = self.spec
-        dfs_seen = SeenStore(spark)
+        dfs_seen = self._make_seen()
         self.seen_store = dfs_seen
-        dfs_seen.add(spark.createDataFrame([(s,) for s in seeds], "url string"))
         visited: set[str] = set()  # bounded by pages actually crawled
         self.visited_set = visited
         stack_schema = (
             "url string, parent_url string, depth int, score double, pos long"
         )
-        stack = spark.createDataFrame(
-            [(s, None, 0, 0.0, len(seeds) - i) for i, s in enumerate(seeds)],
-            stack_schema,
-        )
-        pos_counter = len(seeds) + 1
+        rs = spec.resume_state
+        if rs:
+            dseen = rs.get("dfs_seen", [])
+            if dseen:
+                dfs_seen.add(
+                    spark.createDataFrame([(u,) for u in dseen], "url string")
+                )
+            visited.update(rs.get("visited", []))
+            self._depths.update(rs.get("depths", {}))
+            self._pages_crawled = int(rs.get("pages_crawled", 0))
+            items = rs.get("stack", [])  # bottom → top
+            stack = spark.createDataFrame(
+                [
+                    (it["url"], it.get("parent_url"), int(it["depth"]), 0.0, i)
+                    for i, it in enumerate(items)
+                ],
+                stack_schema,
+            )
+            pos_counter = len(items) + 1
+        else:
+            dfs_seen.add(spark.createDataFrame([(s,) for s in seeds], "url string"))
+            stack = spark.createDataFrame(
+                [(s, None, 0, 0.0, len(seeds) - i) for i, s in enumerate(seeds)],
+                stack_schema,
+            )
+            pos_counter = len(seeds) + 1
+            self._depths.update({s: 0 for s in seeds})
         round_no = 0
         while round_no < spec.max_rounds:
             stack = self._checkpoint(stack)
@@ -620,3 +759,10 @@ class CrawlEngine:
             )
             pos_counter += n_new
             stack = stack.unionByName(new_items)
+            if spec.checkpoint_dir:
+                self._snapshot_round(round_no, stack=stack)
+
+        self._pending_rows = [
+            {"url": r["url"], "parent_url": r["parent_url"], "depth": r["depth"]}
+            for r in stack.orderBy("pos").collect()
+        ]

@@ -1,0 +1,132 @@
+"""Per-round crawl snapshots — Iceberg-style atomic commits on parquet.
+
+Reference analog: the ``on_state_change`` JSON checkpoint stream
+(bfs_strategy.py:273-284; tests/deep_crawling/test_deep_crawl_resume.py).
+The reference serializes its whole state as JSON per URL; at 10^10-URL
+scale the seen set cannot live in a JSON document, so a snapshot is a
+directory commit:
+
+    <dir>/round=N/
+        manifest.json     {round, strategy, pages_crawled, counts, metrics}
+        seen/*.parquet    URL-seen set (per-partition files = per-partition
+                          lineage, north rule)
+        frontier|queue|stack/*.parquet
+
+A snapshot is readable while the next is being written (new directory);
+``latest_round`` finds the highest complete manifest — resume = read
+that round's tables.  Swap the directory for an Iceberg table and the
+commit becomes a snapshot ID; the layout is deliberately isomorphic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def snapshot_round(
+    checkpoint_dir: str,
+    round_no: int,
+    pages_crawled: int,
+    strategy: str,
+    seen: DataFrame | None,
+    metrics: list[dict],
+    **tables: DataFrame,
+) -> None:
+    base = Path(checkpoint_dir) / f"round={round_no}"
+    base.mkdir(parents=True, exist_ok=True)
+    counts = {}
+    if seen is not None:
+        seen.write.mode("overwrite").parquet(str(base / "seen"))
+        counts["seen"] = seen.count()
+    for name, df in tables.items():
+        if df is None:
+            continue
+        df.write.mode("overwrite").parquet(str(base / name))
+        counts[name] = df.count()
+    manifest = {
+        "round": round_no,
+        "strategy": strategy,
+        "pages_crawled": pages_crawled,
+        "counts": counts,
+        "metrics": metrics,
+    }
+    # manifest written last = commit point (atomic rename)
+    tmp = base / "manifest.json.tmp"
+    tmp.write_text(json.dumps(manifest, indent=1))
+    os.replace(tmp, base / "manifest.json")
+
+
+def latest_round(checkpoint_dir: str) -> int | None:
+    base = Path(checkpoint_dir)
+    if not base.exists():
+        return None
+    rounds = []
+    for d in base.iterdir():
+        if d.name.startswith("round=") and (d / "manifest.json").exists():
+            rounds.append(int(d.name.split("=", 1)[1]))
+    return max(rounds) if rounds else None
+
+
+def load_round(
+    spark: SparkSession, checkpoint_dir: str, round_no: int | None = None
+) -> dict:
+    """Returns {manifest, seen?, frontier?/queue?/stack?} DataFrames."""
+    if round_no is None:
+        round_no = latest_round(checkpoint_dir)
+        if round_no is None:
+            raise FileNotFoundError(f"no snapshots in {checkpoint_dir}")
+    base = Path(checkpoint_dir) / f"round={round_no}"
+    manifest = json.loads((base / "manifest.json").read_text())
+    out: dict = {"manifest": manifest}
+    for sub in base.iterdir():
+        if sub.is_dir():
+            out[sub.name] = spark.read.parquet(str(sub))
+    return out
+
+
+def resume_state_from_snapshot(
+    spark: SparkSession, checkpoint_dir: str, round_no: int | None = None
+) -> dict:
+    """Build a reference-shape resume dict from a snapshot (small-state
+    path; at scale the engine consumes the DataFrames directly)."""
+    snap = load_round(spark, checkpoint_dir, round_no)
+    manifest = snap["manifest"]
+    strategy = manifest["strategy"]
+    state = {
+        "strategy_type": strategy,
+        "pages_crawled": manifest["pages_crawled"],
+        "visited": [r["url"] for r in snap["seen"].collect()]
+        if "seen" in snap
+        else [],
+        "depths": {},
+        "cancelled": False,
+    }
+    if strategy == "bfs" and "frontier" in snap:
+        rows = snap["frontier"].orderBy("seq").collect()
+        state["pending"] = [
+            {"url": r["url"], "parent_url": r["parent_url"]} for r in rows
+        ]
+        state["depths"] = {r["url"]: r["depth"] for r in rows}
+    if strategy == "dfs" and "stack" in snap:
+        rows = snap["stack"].orderBy("pos").collect()
+        state["stack"] = [
+            {"url": r["url"], "parent_url": r["parent_url"], "depth": r["depth"]}
+            for r in rows
+        ]
+        state["dfs_seen"] = state["visited"]
+    if strategy == "best_first" and "queue" in snap:
+        rows = snap["queue"].collect()
+        state["queue_items"] = [
+            {
+                "score": r["neg_score"],
+                "depth": r["depth"],
+                "url": r["url"],
+                "parent_url": r["parent_url"],
+            }
+            for r in rows
+        ]
+    return state
