@@ -924,7 +924,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT term, ln(((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5)) AS idf
               FROM tdf
             ),
-            avg_idf AS (SELECT avg(idf) AS a FROM idf_all),
+            avg_idf AS MATERIALIZED (SELECT avg(idf) AS a FROM idf_all),
             idf_q AS (
               SELECT term,
                      CASE WHEN idf >= 0 THEN idf ELSE 0.25 * (SELECT a FROM avg_idf) END AS idf
@@ -947,12 +947,12 @@ def oracle_sql() -> dict[str, str]:
                          + coalesce(MAX(CASE WHEN term = 'table' THEN part END), 0.0) AS bm25
               FROM parts GROUP BY doc_id
             ),
-            bm25 AS (
+            bm25 AS MATERIALIZED (
               SELECT doc_id, coalesce(r.bm25, 0.0) AS bm25
               FROM (SELECT doc_id FROM documents) LEFT JOIN raw r USING (doc_id)
             ),
-            mm AS (SELECT min(bm25) AS lo, max(bm25) AS hi FROM bm25),
-            rel AS (
+            mm AS MATERIALIZED (SELECT min(bm25) AS lo, max(bm25) AS hi FROM bm25),
+            rel AS MATERIALIZED (
               SELECT doc_id,
                      CASE WHEN (SELECT hi FROM mm) = (SELECT lo FROM mm) THEN 0.5
                           ELSE (bm25 - (SELECT lo FROM mm)) / ((SELECT hi FROM mm) - (SELECT lo FROM mm)) END AS relevance_score
@@ -977,7 +977,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT term, ln(((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5)) AS idf
               FROM tdf
             ),
-            avg_idf AS (SELECT avg(idf) AS a FROM idf_all),
+            avg_idf AS MATERIALIZED (SELECT avg(idf) AS a FROM idf_all),
             idf_q AS (
               SELECT term,
                      CASE WHEN idf >= 0 THEN idf ELSE 0.25 * (SELECT a FROM avg_idf) END AS idf
@@ -1000,12 +1000,12 @@ def oracle_sql() -> dict[str, str]:
                          + coalesce(MAX(CASE WHEN term = 'table' THEN part END), 0.0) AS bm25
               FROM parts GROUP BY doc_id
             ),
-            bm25 AS (
+            bm25 AS MATERIALIZED (
               SELECT doc_id, coalesce(r.bm25, 0.0) AS bm25
               FROM (SELECT doc_id FROM documents) LEFT JOIN raw r USING (doc_id)
             ),
-            mm AS (SELECT min(bm25) AS lo, max(bm25) AS hi FROM bm25),
-            rel AS (
+            mm AS MATERIALIZED (SELECT min(bm25) AS lo, max(bm25) AS hi FROM bm25),
+            rel AS MATERIALIZED (
               SELECT doc_id,
                      CASE WHEN (SELECT hi FROM mm) = (SELECT lo FROM mm) THEN 0.5
                           ELSE (bm25 - (SELECT lo FROM mm)) / ((SELECT hi FROM mm) - (SELECT lo FROM mm)) END AS relevance_score

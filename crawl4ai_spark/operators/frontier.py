@@ -98,6 +98,10 @@ class CrawlSpec:
     politeness: PolitenessSpec | None = None
     robots: RobotsRules | None = None
     max_rounds: int = 10_000  # safety valve
+    # best-first pop size: 10 = reference parity (bff_strategy.py:19);
+    # larger batches amortize per-round cost at scale (same semantics,
+    # different pop granularity)
+    batch_size: int = BATCH_SIZE
     # URL-seen membership: "exact" (anti-join) or "bloom" (partitioned
     # bloom-segment probe, then exact confirm — the 10^10 path)
     seen_mode: str = "exact"
@@ -111,13 +115,21 @@ class CrawlSpec:
 class CrawlEngine:
     """Deep-crawl over a corpus DataFrame with crawl4ai semantics."""
 
+    FETCH_COLS = ["url", "success", "status_code", "links"]
+
+    @classmethod
+    def prepare_pages(cls, pages: DataFrame) -> DataFrame:
+        """Project + persist the fetch-relevant corpus columns once;
+        pass the result to several engines to share one cache."""
+        return pages.select(*cls.FETCH_COLS).persist()
+
     def __init__(self, spark: SparkSession, pages: DataFrame, spec: CrawlSpec):
         self.spark = spark
         self.spec = spec
-        # Project the fetch-relevant columns once; reused every round.
-        self.pages = pages.select(
-            "url", "success", "status_code", "links"
-        ).persist()
+        if set(pages.columns) == set(self.FETCH_COLS):
+            self.pages = pages  # already prepared (possibly shared cache)
+        else:
+            self.pages = self.prepare_pages(pages)
         self._result_parts: list[DataFrame] = []
         self._emit_count = 0
         self._pages_crawled = 0
@@ -481,6 +493,7 @@ class CrawlEngine:
                 queue_schema,
             )
             enq_count = len(items)
+            queue_size = len(items)
         else:
             seed_df = spark.createDataFrame(
                 [(s, i) for i, s in enumerate(seeds)], "url string, enq_seq long"
@@ -496,6 +509,7 @@ class CrawlEngine:
                 "enq_seq",
             )
             enq_count = len(seeds)
+            queue_size = len(seeds)
             self._depths.update({s: 0 for s in seeds})
         round_no = 0
         # Heap order = the reference's tuple (-score, depth, url, parent)
@@ -508,22 +522,30 @@ class CrawlEngine:
             F.asc("url"),
             F.asc_nulls_first("parent_url"),
         ]
+        rounds_since_ckpt = 0
         while round_no < spec.max_rounds:
             if self._pages_crawled >= spec.max_pages:
                 break
+            # checkpoint the (small) queue every round: each pop is a
+            # single-partition window, so an un-checkpointed chain makes
+            # round N recompute rounds 1..N-1's windows — measurably
+            # worse than the ~0.3s materialization
             queue = self._checkpoint(queue)
-            if queue.isEmpty():
+            rounds_since_ckpt = 0
+            # queue size is tracked arithmetically — no isEmpty action
+            if queue_size <= 0:
                 break
 
             w_pop = Window.orderBy(*pop_order)
             popped = (
                 queue.withColumn("pop_rn", F.row_number().over(w_pop))
-                .filter(F.col("pop_rn") <= BATCH_SIZE)
+                .filter(F.col("pop_rn") <= spec.batch_size)
                 .persist()
             )
             queue = queue.join(
                 popped.select("enq_seq"), "enq_seq", "left_anti"
             )
+            queue_size = max(0, queue_size - spec.batch_size)
 
             # pop-time dedupe: vs seen, then first occurrence within batch
             batch = seen.anti_join(popped, "url")
@@ -544,9 +566,6 @@ class CrawlEngine:
             )
             popped.unpersist()
             seen.add(batch.select("url"))
-            if batch.isEmpty():
-                round_no += 1
-                continue
 
             fetched = self._fetch(batch)
             w_emit = Window.orderBy("seq")
@@ -575,6 +594,10 @@ class CrawlEngine:
             ).collect()[0]
             n_emitted = int(stats["n"])
             n_success = int(stats["ok"] or 0)
+            if n_emitted == 0:  # whole batch was already-visited dupes
+                emitted.unpersist()
+                round_no += 1
+                continue
             self._pages_crawled += n_success
             self._result_parts.append(emitted.drop("links", "cum_ok"))
             self._metrics.append(
@@ -614,6 +637,7 @@ class CrawlEngine:
             )
             n_new = new_items.count()
             enq_count += n_new
+            queue_size += n_new
             self._emit_count += n_emitted
             emitted.unpersist()
             queue = queue.unionByName(new_items)

@@ -58,6 +58,7 @@ class CrawlSpec:
     include_external: bool = False
     score_threshold: float = -math.inf
     max_pages: float = math.inf
+    batch_size: int = BATCH_SIZE
 
 
 @dataclass
@@ -221,10 +222,10 @@ def _bff(pages, seeds, spec):
         if pages_crawled >= spec.max_pages:
             break
         remaining = spec.max_pages - pages_crawled
-        if min(BATCH_SIZE, remaining) <= 0:
+        if min(spec.batch_size, remaining) <= 0:
             break
         batch = []
-        for _ in range(BATCH_SIZE):  # note: BATCH_SIZE, not min(...) — ref quirk
+        for _ in range(spec.batch_size):  # note: full size, not min(...) — ref quirk
             if not queue:
                 break
             item = heappop(queue)

@@ -90,7 +90,7 @@ def corpus_bm25(
     floor = epsilon * avg_idf
     query_terms = list(dict.fromkeys(query.lower().split()))
     idf_q = {
-        r["term"]: (r["idf"] if r["idf"] > 0 else floor)
+        r["term"]: (r["idf"] if r["idf"] >= 0 else floor)  # floor ONLY negatives
         for r in idf_all.filter(F.col("term").isin(query_terms)).collect()
     }
 

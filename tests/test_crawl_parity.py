@@ -159,3 +159,28 @@ def test_corpus_spark_matches_python(spark):
         assert row["success"] == page.success
         got_links = [(l["href"], l["is_external"]) for l in row["links"]]
         assert got_links == page.links
+
+
+def test_bff_larger_batch(spark):
+    """batch_size is a scale knob — engine and oracle agree at any size."""
+    engine, got, exp, visited = run_both(
+        spark,
+        dict(
+            max_depth=2,
+            strategy="best_first",
+            scorer=KeywordRelevanceScorer(keywords=["blog", "docs"], weight=1.0),
+            max_pages=25,
+            batch_size=30,
+        ),
+    )
+    assert_parity(engine, got, exp, visited)
+
+
+def test_bfs_multiseed(spark):
+    engine, got, exp, visited = run_both(
+        spark,
+        dict(max_depth=1, strategy="bfs"),
+        start=[corpus.py_canonical_url(1), corpus.py_canonical_url(7),
+               corpus.py_canonical_url(11)],
+    )
+    assert_parity(engine, got, exp, visited)
