@@ -591,6 +591,132 @@ def q_seed_pipeline(spark, sf_dir):
     )
 
 
+def _head_fields(du):
+    """Synthetic head metadata derived from doc_id (shared by the F5/F6
+    queries and their SQL mirrors)."""
+    i = F.col("doc_id")
+    title = F.concat(
+        F.when(i % 4 == 0, F.lit("spark crawl ")).otherwise(F.lit("")),
+        F.repeat(F.lit("t"), (F.lit(40) + i % 35).cast("int")),
+    )
+    desc = F.repeat(F.lit("d"), (F.lit(100) + i % 120).cast("int"))
+    canonical = (
+        F.when(i % 3 == 0, F.col("url"))
+        .when(i % 3 == 1, F.concat(F.col("url"), F.lit("x")))
+        .otherwise(F.lit(None))
+    )
+    robots = F.when(i % 5 == 0, F.lit("noindex,follow")).otherwise(
+        F.lit("index,follow")
+    )
+    return du.select(
+        "doc_id",
+        "url",
+        title.alias("title"),
+        desc.alias("description"),
+        canonical.alias("canonical"),
+        robots.alias("robots"),
+        (i % 6 == 0).alias("has_ldjson"),
+    )
+
+
+def q_seo_filter(spark, sf_dir):
+    """F6 SEOFilter: weighted head-quality score + threshold."""
+    from crawl4ai_spark.functions.head_filters import SEOFilter
+
+    h = _head_fields(_doc_urls(spark, sf_dir))
+    f = SEOFilter(threshold=0.65, keywords=["spark", "crawl"])
+    score = f.score_column(
+        F.col("url"), F.col("title"), F.col("description"),
+        F.col("robots"), F.col("canonical"), F.col("has_ldjson"),
+    )
+    return h.select(
+        "doc_id",
+        F.floor(score * 1e6).cast("long").alias("seo_fp"),
+        (score >= 0.65).alias("passed"),
+    )
+
+
+def q_content_relevance_filter(spark, sf_dir):
+    """F5 ContentRelevanceFilter: simplified-IDF BM25 over the weighted
+    head document (title×3 + desc×2 + keywords + meta values)."""
+    from crawl4ai_spark.functions.head_filters import (
+        ContentRelevanceFilter,
+        build_head_document,
+    )
+
+    du = _doc_urls(spark, sf_dir)
+    i = F.col("doc_id")
+    title = F.when(i % 3 == 0, F.lit("spark data engine")).otherwise(
+        F.lit("misc page notes")
+    )
+    desc = F.when(i % 2 == 0, F.lit("fast spark jobs")).otherwise(
+        F.lit("none here")
+    )
+    kw = F.lit("data tools")
+    doc = build_head_document(title, desc, kw, [desc])
+    f = ContentRelevanceFilter(query="spark data", threshold=0.4)
+    return du.select(
+        "doc_id",
+        F.floor(f.score_column(doc) * 1e6).cast("long").alias("bm25_fp"),
+        f.column(doc).alias("passed"),
+    )
+
+
+def q_intrinsic_link_score(spark, sf_dir):
+    """C7 intrinsic link quality (utils.py:3344-3456) over synthetic
+    link attributes."""
+    from crawl4ai_spark.functions.link_scores import intrinsic_link_score
+
+    du = _doc_urls(spark, sf_dir)
+    i = F.col("doc_id")
+    text = F.when(i % 3 == 0, F.lit("API Reference Guide")).otherwise(
+        F.lit("read more")
+    )
+    title = F.when(i % 2 == 0, F.lit("Documentation page")).otherwise(F.lit(""))
+    cls = F.when(i % 4 == 0, F.lit("nav primary")).otherwise(F.lit("content"))
+    rel = F.when(i % 5 == 0, F.lit("nofollow")).otherwise(F.lit(""))
+    return du.select(
+        "doc_id",
+        F.floor(
+            intrinsic_link_score(text, F.col("url"), title, cls, rel) * 1e6
+        ).cast("long").alias("intrinsic_fp"),
+    )
+
+
+def q_total_score(spark, sf_dir):
+    """C8 total score = 0.7·intrinsic + 0.3·min(contextual·10, 10)
+    (utils.py:3459-3504)."""
+    from crawl4ai_spark.functions.link_scores import intrinsic_link_score, total_score
+
+    du = _doc_urls(spark, sf_dir)
+    i = F.col("doc_id")
+    text = F.when(i % 3 == 0, F.lit("API Reference Guide")).otherwise(
+        F.lit("read more")
+    )
+    intrinsic = intrinsic_link_score(
+        text, F.col("url"), F.lit(""), F.lit(""), F.lit("")
+    )
+    contextual = _COMPOSITE.column(F.col("url"))
+    return du.select(
+        "doc_id",
+        F.floor(total_score(intrinsic, contextual, True, True) * 1e6)
+        .cast("long")
+        .alias("total_fp"),
+    )
+
+
+def q_url_relevance(spark, sf_dir):
+    """C9 fuzzy URL relevance (rows-only: set/harmonic algorithm runs in
+    an Arrow UDF, not SQL-expressible)."""
+    from crawl4ai_spark.functions.link_scores import url_relevance_udf
+
+    du = _doc_urls(spark, sf_dir)
+    udf = url_relevance_udf("docs example")
+    return du.select(
+        "doc_id", F.floor(udf(F.col("url")) * 1e6).cast("long").alias("rel_fp")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BFS deep crawl (depth 2) over the synthetic corpus
     sized from sf0.001 documents."""
@@ -637,6 +763,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "head_bm25": q_head_bm25,
         "seeder_bm25": q_seeder_bm25,
         "nonsense_url_filter": q_nonsense_url_filter,
+        "seo_filter": q_seo_filter,
+        "intrinsic_link_score": q_intrinsic_link_score,
+        "total_score": q_total_score,
+        "url_relevance": q_url_relevance,
+        "content_relevance_filter": q_content_relevance_filter,
         "seed_pipeline": q_seed_pipeline,
     }
     return qs
@@ -959,6 +1090,102 @@ def oracle_sql() -> dict[str, str]:
               FROM bm25
             )
             SELECT doc_id, CAST(floor(relevance_score * 1e6) AS BIGINT) AS rel_fp FROM rel
+        """,
+
+        "seo_filter": """
+            WITH h AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 0 END) + 40 + CAST(doc_id % 35 AS INT) AS tlen,
+                100 + CAST(doc_id % 120 AS INT) AS dlen,
+                CAST(doc_id % 3 AS INT) AS canon_kind,
+                (doc_id % 5 = 0) AS noindex,
+                (doc_id % 6 = 0) AS ldjson,
+                (doc_id % 4 = 0) AS kw_title
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                0.0
+                + 0.15 * (CASE WHEN tlen BETWEEN 50 AND 60 THEN 1.0
+                               WHEN (tlen >= 40 AND tlen < 50) OR (tlen > 60 AND tlen <= 70) THEN 0.7
+                               ELSE 0.3 END)
+                + 0.18 * (CASE WHEN kw_title THEN 0.6 ELSE 0.0 END)
+                + 0.12 * (CASE WHEN dlen BETWEEN 140 AND 160 THEN 1.0
+                               WHEN dlen BETWEEN 120 AND 200 THEN 0.5 ELSE 0.2 END)
+                + 0.10 * (CASE canon_kind WHEN 0 THEN 1.0 WHEN 1 THEN 0.2 ELSE 0.5 END)
+                + 0.20 * (CASE WHEN noindex THEN 0.0 ELSE 1.0 END)
+                + 0.10 * (CASE WHEN ldjson THEN 1.0 ELSE 0.0 END)
+                + 0.15 * 0.8
+                AS seo
+              FROM h
+            )
+            SELECT doc_id, CAST(floor(seo * 1e6) AS BIGINT) AS seo_fp,
+                   seo >= 0.65 AS passed
+            FROM s
+        """,
+        "content_relevance_filter": """
+            WITH h AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'spark data engine' ELSE 'misc page notes' END AS title,
+                CASE WHEN doc_id % 2 = 0 THEN 'fast spark jobs' ELSE 'none here' END AS dsc
+              FROM documents
+            ),
+            d AS (
+              SELECT doc_id,
+                concat_ws(' ', repeat(title, 3), repeat(dsc, 2), 'data tools', dsc) AS doc
+              FROM h
+            ),
+            t AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(doc), '\\s+'), x -> x <> '') AS toks
+              FROM d
+            ),
+            sc AS (
+              SELECT doc_id,
+                0.0
+                + ln((2.0 / (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) + 0.5)) + 1.0)
+                  * (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) * 2.2
+                     / (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / 1000.0))))
+                + ln((2.0 / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) + 0.5)) + 1.0)
+                  * (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) * 2.2
+                     / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / 1000.0))))
+                AS score
+              FROM t
+            )
+            SELECT doc_id, CAST(floor(score * 1e6) AS BIGINT) AS bm25_fp,
+                   score >= 0.4 AS passed
+            FROM sc
+        """,
+
+        "intrinsic_link_score": """
+            SELECT doc_id, CAST(floor(greatest(0.0, least(
+                (CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN doc_id % 4 = 0 THEN 1.5 ELSE 0.0 END)
+              + (CASE WHEN doc_id % 5 = 0 THEN -0.5 ELSE 0.0 END)
+              + (CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 1.0 WHEN 1 THEN 2.0
+                      WHEN 2 THEN 2.0 WHEN 3 THEN 1.0 ELSE 0.0 END)
+              + 0.5
+              + (CASE WHEN doc_id % 3 = 0 THEN 1.5 ELSE 0.5 END)
+            , 10.0)) * 1e6) AS BIGINT) AS intrinsic_fp
+            FROM documents
+        """,
+        "total_score": f"""
+            WITH c AS (
+              SELECT doc_id,
+                greatest(0.0, least(
+                    (CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 1.0 WHEN 1 THEN 2.0
+                          WHEN 2 THEN 2.0 WHEN 3 THEN 1.0 ELSE 0.0 END)
+                  + 0.5
+                  + (CASE WHEN doc_id % 3 = 0 THEN 1.5 ELSE 0.5 END)
+                , 10.0)) AS intr,
+                ({_SQL_KEYWORD} + {_SQL_CTYPE} + {_SQL_FRESH} + {_SQL_DOMAUTH}) / 4.0 AS ctx
+              FROM (SELECT doc_id, {url} AS url FROM documents)
+            )
+            SELECT doc_id,
+                   CAST(floor(greatest(0.0, least(intr * 0.7 + least(ctx * 10.0, 10.0) * 0.3, 10.0)) * 1e6) AS BIGINT) AS total_fp
+            FROM c
         """,
         "nonsense_url_filter": """
             SELECT doc_id, (CAST(doc_id % 7 AS INT) IN (1, 2, 3, 4, 6)) AS nonsense

@@ -42,8 +42,13 @@ from crawl4ai_spark.sources import corpus
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CORPUS_MULT = int(os.environ.get("BENCH_CORPUS_MULT", "40"))
-N_SEEDS = int(os.environ.get("BENCH_SEEDS", "2000"))
+# MODE=suite: full operator suite; MODE=scaling: BFS throughput only,
+# with a frontier big enough to be compute-bound (the scaling-efficiency
+# measurement per BASELINE.md)
+MODE = os.environ.get("BENCH_MODE", "suite")
+_SCALING = MODE == "scaling"
+CORPUS_MULT = int(os.environ.get("BENCH_CORPUS_MULT", "400" if _SCALING else "100"))
+N_SEEDS = int(os.environ.get("BENCH_SEEDS", "60000" if _SCALING else "8000"))
 
 SCORER = CompositeScorer(
     scorers=[
@@ -85,6 +90,12 @@ def main() -> None:
     # corpus generation is fixture cost, not crawl work)
     pages = CrawlEngine.prepare_pages(corpus.build_pages(spark, n_corpus))
     pages.count()
+    # pre-warm executor python workers (Arrow UDF import stampede would
+    # otherwise land inside the first timed round, penalizing high
+    # core counts)
+    spark.range(0, CPUS * 4, 1, CPUS).select(
+        normalize_udf(F.lit("https://w.com/a"), F.lit("https://w.com/")).alias("n")
+    ).count()
     seeds = [
         corpus.py_canonical_url((17 * i + 1) % n_corpus) for i in range(N_SEEDS)
     ]
@@ -102,6 +113,14 @@ def main() -> None:
     n_emitted = timed("bfs_crawl", bfs)
     extras["bfs_urls_emitted"] = n_emitted
     extras["urls_per_sec"] = round(n_emitted / timings["bfs_crawl"], 2)
+
+    if _SCALING:
+        print(json.dumps({
+            "metric": "bfs_urls_per_sec", "value": extras["urls_per_sec"],
+            "unit": "urls/sec", "queries": timings, "sf": sf, "cpus": CPUS,
+            "corpus_pages": n_corpus, "seeds": len(seeds), **extras,
+        }))
+        return
 
     # --- q2: best-first crawl ----------------------------------------------
     def bff():

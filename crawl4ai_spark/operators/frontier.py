@@ -53,6 +53,7 @@ from pyspark.sql import types as T
 from crawl4ai_spark.functions.filters import FilterChain, valid_crawl_url
 from crawl4ai_spark.functions.normalize import normalize_udf
 from crawl4ai_spark.functions.scorers import Scorer
+from crawl4ai_spark.operators.ordering import with_global_cumsum, with_global_rank
 from crawl4ai_spark.operators.politeness import PolitenessSpec, PolitenessState
 from crawl4ai_spark.operators.robots import RobotsRules
 from crawl4ai_spark.operators.seen import SeenStore
@@ -209,12 +210,18 @@ class CrawlEngine:
             "success", F.coalesce(F.col("success"), F.lit(False))
         ).withColumn("status_code", F.coalesce(F.col("status_code"), F.lit(0)))
 
-    def _emit(self, fetched: DataFrame, round_no: int, order_cols: list) -> DataFrame:
-        w = Window.orderBy(*order_cols)
+    def _emit(
+        self, fetched: DataFrame, round_no: int, order_cols: list,
+        n_rows_hint: int | None = 0,
+    ) -> DataFrame:
+        ranked = with_global_rank(
+            fetched, order_cols, "__emit_rn", n_rows_hint=n_rows_hint
+        )
         emitted = (
-            fetched.withColumn(
-                "emit_seq", F.row_number().over(w) + F.lit(self._emit_count) - 1
+            ranked.withColumn(
+                "emit_seq", F.col("__emit_rn") + F.lit(self._emit_count) - 1
             )
+            .drop("__emit_rn")
             .withColumn("round", F.lit(round_no))
             .select(
                 "emit_seq", "round", "url", "depth", "parent_url",
@@ -307,7 +314,9 @@ class CrawlEngine:
                 frontier_now, deferred = frontier, None
 
             fetched = self._fetch(frontier_now).persist()
-            emitted = self._emit(fetched, round_no, [F.col("seq")])
+            emitted = self._emit(
+                fetched, round_no, [F.col("seq")], n_rows_hint=n_frontier
+            )
             fetched.unpersist()
 
             stats = emitted.agg(
@@ -335,25 +344,25 @@ class CrawlEngine:
 
             # ---- discovery over this round's successful parents ----
             parents = emitted.filter(F.col("success"))
-            # cumulative successes in emit order = _pages_crawled at the
-            # time each parent's link_discovery ran (bfs_strategy.py:266-271)
-            w_cum = (
-                Window.orderBy("emit_seq")
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-            parents = parents.withColumn(
-                "crawled_incl",
-                F.sum(F.col("success").cast("long")).over(w_cum),
-            )
-            # a parent whose remaining capacity is ≤ 0 skips link_discovery
-            # entirely — its candidates never reach the visited set
-            # (bfs_strategy.py:148-152)
             if spec.max_pages != math.inf:
+                # cumulative successes in emit order = _pages_crawled at
+                # the time each parent's link_discovery ran
+                # (bfs_strategy.py:266-271); only the capacity cut needs it
+                parents = with_global_cumsum(
+                    parents, ["emit_seq"], F.col("success").cast("long"),
+                    "crawled_incl", n_rows_hint=n_frontier,
+                ).withColumn("crawled_incl", F.col("crawled_incl").cast("long"))
+                # a parent whose remaining capacity is ≤ 0 skips
+                # link_discovery entirely — its candidates never reach the
+                # visited set (bfs_strategy.py:148-152)
                 parents = parents.filter(
                     (F.lit(int(spec.max_pages)) - F.lit(prior_crawled)
                      - F.col("crawled_incl")) >= 1
                 )
-            cand = self._discover_candidates(parents, carry=("crawled_incl",))
+                carry = ("crawled_incl",)
+            else:
+                carry = ()
+            cand = self._discover_candidates(parents, carry=carry)
             cand = seen.anti_join(cand, "norm_url")
             # first-occurrence dedupe within the level == the reference's
             # sequential visited.add at discovery time (bfs_strategy.py:186)
@@ -402,13 +411,16 @@ class CrawlEngine:
                 child_ord = F.col("link_idx")
             trimmed = trimmed.withColumn("child_ord", child_ord)
 
-            w_seq = Window.orderBy("emit_seq", "child_ord")
-            next_frontier = trimmed.select(
+            ranked_next = with_global_rank(
+                trimmed, ["emit_seq", "child_ord"], "__next_rn",
+                n_rows_hint=int(stats["n"]) * 4,
+            )
+            next_frontier = ranked_next.select(
                 F.col("norm_url").alias("url"),
                 F.col("src_url").alias("parent_url"),
                 F.col("next_depth").alias("depth"),
                 F.col("score"),
-                (F.row_number().over(w_seq) + F.lit(self._emit_count + int(stats["n"])) - 1)
+                (F.col("__next_rn") + F.lit(self._emit_count + int(stats["n"])) - 1)
                 .alias("seq"),
             )
             self._emit_count += int(stats["n"])
@@ -536,9 +548,9 @@ class CrawlEngine:
             if queue_size <= 0:
                 break
 
-            w_pop = Window.orderBy(*pop_order)
             popped = (
-                queue.withColumn("pop_rn", F.row_number().over(w_pop))
+                with_global_rank(queue, pop_order, "pop_rn",
+                                 n_rows_hint=queue_size)
                 .filter(F.col("pop_rn") <= spec.batch_size)
                 .persist()
             )
@@ -627,13 +639,15 @@ class CrawlEngine:
             # BFF dedupes ONLY against visited — duplicates may re-enter
             # the queue from different parents (pop-time dedupe)
             cand = seen.anti_join(cand, "norm_url")
-            w_enq = Window.orderBy("emit_seq", "link_idx")
-            new_items = cand.select(
+            new_items = with_global_rank(
+                cand, ["emit_seq", "link_idx"], "__enq_rn",
+                n_rows_hint=n_emitted * 4,
+            ).select(
                 (-F.col("score")).alias("neg_score"),
                 F.col("next_depth").alias("depth"),
                 F.col("norm_url").alias("url"),
                 F.col("src_url").alias("parent_url"),
-                (F.row_number().over(w_enq) + F.lit(enq_count) - 1).alias("enq_seq"),
+                (F.col("__enq_rn") + F.lit(enq_count) - 1).alias("enq_seq"),
             )
             n_new = new_items.count()
             enq_count += n_new

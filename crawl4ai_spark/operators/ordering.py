@@ -1,0 +1,119 @@
+"""Distributed total-order ranking (W1-W6 at scale).
+
+A global ``row_number().over(Window.orderBy(...))`` collapses the round
+onto one partition — fine for 10-row best-first pops, an Amdahl wall
+for 10^6-row BFS levels.  ``with_global_rank`` produces the EXACT same
+rank with a parallel plan:
+
+    repartitionByRange(order) → sortWithinPartitions
+    → per-partition row_number (parallel)
+    → + per-partition offsets (one tiny collect)
+
+Because the order columns form a total order (the engine's seq/link
+keys are unique), range boundaries only decide which partition a row
+lands in; the offset correction makes the final rank identical to the
+single-partition window, so parity is untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# below this row count a plain global window is cheaper than the extra
+# shuffle + collect of the two-phase plan
+TWO_PHASE_THRESHOLD = 50_000
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str,
+    n_rows_hint: int | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """rank 1..N by ``order_cols`` (must be a total order)."""
+    if n_rows_hint is not None and n_rows_hint < TWO_PHASE_THRESHOLD:
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(out_col, F.row_number().over(w))
+
+    spark = df.sparkSession
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition ids
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        offset_map = F.create_map(
+            *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+        )
+    else:
+        offset_map = F.create_map()
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn(
+            out_col,
+            F.row_number().over(w) + F.coalesce(offset_map[F.col("__pid")], F.lit(0)),
+        )
+        .drop("__pid")
+    )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value: Column,
+    out_col: str,
+    n_rows_hint: int | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Running sum of ``value`` in ``order_cols`` order (inclusive)."""
+    if n_rows_hint is not None and n_rows_hint < TWO_PHASE_THRESHOLD:
+        w = Window.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return df.withColumn(out_col, F.sum(value).over(w))
+
+    spark = df.sparkSession
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__v", value)
+        .localCheckpoint(eager=True)
+    )
+    sums = {
+        r["__pid"]: r["s"] or 0
+        for r in ranged.groupBy("__pid").agg(F.sum("__v").alias("s")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    if offsets:
+        offset_map = F.create_map(
+            *[F.lit(x) for pid, off in offsets.items() for x in (pid, float(off))]
+        )
+    else:
+        offset_map = F.create_map()
+    w = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ranged.withColumn(
+            out_col,
+            F.sum("__v").over(w) + F.coalesce(offset_map[F.col("__pid")], F.lit(0.0)),
+        )
+        .drop("__pid", "__v")
+    )

@@ -129,6 +129,31 @@ class BloomSegments:
     def segments(self) -> DataFrame | None:
         return self._segments
 
+    def estimate_cardinality(self) -> float:
+        """A6: bloom cardinality estimate −(m/k)·ln(1 − X/m) per segment
+        (crazy.py:140-158), summed across segments."""
+        if self._segments is None:
+            return 0.0
+        m, k = self.m, self.k
+
+        def est(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for b in pdf["bits"]:
+                x = int(np.unpackbits(np.frombuffer(b, dtype=np.uint8)).sum())
+                if x >= m:
+                    out.append(float(m))
+                else:
+                    out.append(-(m / k) * math.log(1.0 - x / m))
+            return pd.DataFrame({"n_est": out})
+
+        total = (
+            self._segments.select("bits")
+            .mapInPandas(lambda it: (est(pdf) for pdf in it), "n_est double")
+            .agg(F.sum("n_est"))
+            .collect()[0][0]
+        )
+        return float(total or 0.0)
+
     # -- probe --------------------------------------------------------------
 
     def probe(self, candidates: DataFrame, url_col: str) -> DataFrame:

@@ -23,6 +23,7 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env.setdefault("BENCH_MODE", "scaling")
     out = subprocess.run(
         [sys.executable, str(ROOT / "bench.py")],
         capture_output=True,
