@@ -53,18 +53,16 @@ def with_global_rank(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
     if offsets:
         offset_map = F.create_map(
             *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
         )
-    else:
-        offset_map = F.create_map()
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
+        offset_col = F.coalesce(offset_map[F.col("__pid")], F.lit(0))
+    else:  # empty input: rank column still needs a valid expression
+        offset_col = F.lit(0)
     return (
-        ranged.withColumn(
-            out_col,
-            F.row_number().over(w) + F.coalesce(offset_map[F.col("__pid")], F.lit(0)),
-        )
+        ranged.withColumn(out_col, F.row_number().over(w) + offset_col)
         .drop("__pid")
     )
 
@@ -101,19 +99,17 @@ def with_global_cumsum(
     for pid in sorted(sums):
         offsets[pid] = acc
         acc += sums[pid]
+    w = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     if offsets:
         offset_map = F.create_map(
             *[F.lit(x) for pid, off in offsets.items() for x in (pid, float(off))]
         )
+        offset_col = F.coalesce(offset_map[F.col("__pid")], F.lit(0.0))
     else:
-        offset_map = F.create_map()
-    w = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+        offset_col = F.lit(0.0)
     return (
-        ranged.withColumn(
-            out_col,
-            F.sum("__v").over(w) + F.coalesce(offset_map[F.col("__pid")], F.lit(0.0)),
-        )
+        ranged.withColumn(out_col, F.sum("__v").over(w) + offset_col)
         .drop("__pid", "__v")
     )
