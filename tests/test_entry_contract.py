@@ -13,7 +13,7 @@ def test_oracle_keys_subset_of_queries():
     rows_only = set(q) - set(o)
     assert rows_only <= {
         "bff_crawl", "dfs_crawl", "politeness_backoff", "minhash_lsh_pairs",
-        "ann_lsh_topk", "image_validation",
+        "ann_lsh_topk", "image_validation", "url_relevance",
     }
 
 
