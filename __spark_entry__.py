@@ -717,6 +717,144 @@ def q_url_relevance(spark, sf_dir):
     )
 
 
+def q_adaptive_confidence(spark, sf_dir):
+    """A5 adaptive-crawler confidence: coverage/consistency/saturation
+    and the 0.4/0.3/0.3 blend (adaptive_crawler.py:309-411)."""
+    from crawl4ai_spark.functions.adaptive import confidence_df
+
+    out = confidence_df(_docs(spark, sf_dir), "spark data web", kb_limit=40)
+    return out.select(
+        F.floor(F.col("coverage") * 1e6).cast("long").alias("coverage_fp"),
+        F.floor(F.col("consistency") * 1e6).cast("long").alias("consistency_fp"),
+        F.floor(F.col("saturation") * 1e6).cast("long").alias("saturation_fp"),
+        F.floor(F.col("confidence") * 1e6).cast("long").alias("confidence_fp"),
+    )
+
+
+def q_base_domain(spark, sf_dir):
+    """N4/N5 base-domain extraction + internal/external classification
+    (utils.py:2480-2562) in Arrow UDFs, over canonical / external /
+    second-level-TLD / port-carrying URL variants."""
+    from crawl4ai_spark.functions.normalize import base_domain_udf, is_external_udf
+
+    du = _doc_urls(spark, sf_dir)
+    i = F.col("doc_id")
+    ext_u = F.concat(
+        F.lit("https://ext"), (i % 3).cast("string"),
+        F.lit(".partner.org/p/"), i.cast("string"),
+    )
+    shop_u = F.concat(
+        F.lit("https://www.shop"), (i % 4).cast("string"),
+        F.lit(".co.uk/p/"), i.cast("string"),
+    )
+    port_u = F.concat(F.lit("https://api.example.com:8080/x/"), i.cast("string"))
+    variants = du.select(
+        "doc_id",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.struct(F.lit(0).alias("kind"), F.col("url").alias("u")),
+                    F.when(i % 6 == 0, F.struct(F.lit(1).alias("kind"), ext_u.alias("u"))),
+                    F.when(i % 5 == 0, F.struct(F.lit(2).alias("kind"), shop_u.alias("u"))),
+                    F.when(i % 7 == 0, F.struct(F.lit(3).alias("kind"), port_u.alias("u"))),
+                )
+            )
+        ).alias("v"),
+    )
+    return variants.select(
+        "doc_id",
+        F.col("v.kind").alias("kind"),
+        base_domain_udf(F.col("v.u")).alias("base_dom"),
+        is_external_udf(F.col("v.u"), F.lit("example.com")).alias("is_ext"),
+    )
+
+
+def q_head_fingerprint(spark, sf_dir):
+    """C11 head fingerprint (utils.py:2847; used for cache freshness
+    validation, async_webcrawler.py:648-653): stable md5 of the head
+    fields, JVM-side (whole-stage codegen, no UDF)."""
+    h = _head_fields(_doc_urls(spark, sf_dir))
+    blob = F.concat_ws(
+        "|",
+        F.col("title"),
+        F.col("description"),
+        F.coalesce(F.col("canonical"), F.lit("")),
+        F.col("robots"),
+    )
+    return h.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(blob), 1, 15), 16, 10).cast("long").alias("head_fp"),
+    )
+
+
+def q_max_links_trim(spark, sf_dir):
+    """T3 max_links-per-page trim (link_preview.py:157-162): keep the
+    top-2 links per source page by relevance score (window top-k)."""
+    du = _doc_urls(spark, sf_dir)
+    n = du.count()
+    kw = _SCORERS["keyword"]
+    links = du.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        ((F.col("doc_id") * BRANCHING + j) % n).alias("child"),
+                    )
+                    for j in range(1, BRANCHING + 1)
+                ]
+            )
+        ).alias("l"),
+    ).select("doc_id", F.col("l.j").alias("j"), F.col("l.child").alias("child"))
+    scored = links.withColumn(
+        "s", kw.column(corpus.canonical_url_col(F.col("child")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("j"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("doc_id", "j", "child")
+    )
+
+
+def q_cache_mode(spark, sf_dir):
+    """S7 CacheMode read gate (cache_context.py:59-87): ENABLED reads
+    resolve against the fetched-cache table via left join; misses fall
+    through to a live fetch."""
+    du = _doc_urls(spark, sf_dir)
+    cache = du.filter(F.col("doc_id") % 2 == 0).select(F.col("url").alias("curl"))
+    joined = du.join(cache, du.url == cache.curl, "left")
+    return joined.groupBy(
+        (F.col("doc_id") % 7).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("curl").isNotNull(), 1).otherwise(0)).alias("cache_hits"),
+        F.sum(F.when(F.col("curl").isNull(), 1).otherwise(0)).alias("live_fetches"),
+    )
+
+
+def q_queue_stats(spark, sf_dir):
+    """A7 dispatcher queue statistics (async_dispatcher.py:509-521):
+    queued count + max/avg wait per domain (synthetic enqueue ts)."""
+    du = _doc_urls(spark, sf_dir)
+    i = F.col("doc_id")
+    wait = F.lit(200.0) - (i * 7 % 101).cast("double")
+    domain = F.concat(
+        F.lit("d"),
+        F.when(i % 2 == 0, F.lit(0)).otherwise(i % 7).cast("string"),
+    )
+    return (
+        du.select(domain.alias("domain"), wait.alias("wait"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("queued"),
+            F.max("wait").alias("max_wait"),
+            F.floor(F.avg("wait") * 1e6).cast("long").alias("avg_wait_fp"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BFS deep crawl (depth 2) over the synthetic corpus
     sized from sf0.001 documents."""
@@ -769,6 +907,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_relevance": q_url_relevance,
         "content_relevance_filter": q_content_relevance_filter,
         "seed_pipeline": q_seed_pipeline,
+        "adaptive_confidence": q_adaptive_confidence,
+        "base_domain": q_base_domain,
+        "head_fingerprint": q_head_fingerprint,
+        "max_links_trim": q_max_links_trim,
+        "cache_mode": q_cache_mode,
+        "queue_stats": q_queue_stats,
     }
     return qs
 
@@ -1268,6 +1412,151 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cos_sim DESC, vec_id ASC
             LIMIT 10
+        """,
+        # A5: independent DuckDB execution of the adaptive-confidence
+        # formulas (coverage / consistency / saturation / 0.4-0.3-0.3)
+        "adaptive_confidence": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(list_filter(
+                       string_split_regex(
+                         regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+                       x -> length(x) > 2)) AS term
+              FROM documents
+            ),
+            stats AS MATERIALIZED (
+              SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+              FROM toks GROUP BY term
+            ),
+            nn AS (SELECT count(*) AS n_docs FROM documents),
+            mx AS (SELECT max(tf) AS max_tf FROM stats),
+            qt AS (SELECT UNNEST(['spark','data','web']) AS term),
+            cov AS (
+              SELECT least(1.0, sqrt(avg(
+                CASE WHEN s.df IS NOT NULL AND s.df > 0
+                     THEN (CAST(s.df AS DOUBLE) / (SELECT n_docs FROM nn))
+                          * (1 + 0.5 * ln(1 + s.tf) / ln(1 + (SELECT max_tf FROM mx)))
+                     ELSE 0.0 END))) AS coverage
+              FROM qt LEFT JOIN stats s USING (term)
+            ),
+            kb AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40),
+            kbt AS MATERIALIZED (
+              SELECT DISTINCT doc_id, term FROM toks
+              WHERE doc_id IN (SELECT doc_id FROM kb)
+            ),
+            sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM kbt GROUP BY doc_id),
+            mm AS (SELECT count(*) AS m FROM sizes),
+            inter AS (
+              SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+              FROM kbt a JOIN kbt b USING (term)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ),
+            sumj AS (
+              SELECT coalesce(sum(CAST(c AS DOUBLE) / (si.sz + sj.sz - c)), 0.0) AS s
+              FROM inter
+              JOIN sizes si ON si.doc_id = inter.i
+              JOIN sizes sj ON sj.doc_id = inter.j
+            ),
+            cons AS (
+              SELECT CASE WHEN (SELECT count(*) FROM kb) < 2 THEN 1.0
+                          WHEN (SELECT m FROM mm) >= 2
+                            THEN (SELECT s FROM sumj)
+                                 / ((SELECT m FROM mm) * ((SELECT m FROM mm) - 1) / 2.0)
+                          ELSE 0.0 END AS consistency
+            ),
+            fs AS (SELECT term, min(doc_id) AS fd FROM toks GROUP BY term),
+            npd AS (SELECT fd, count(*) AS nt FROM fs GROUP BY fd),
+            hist AS (
+              SELECT d.doc_id, coalesce(n.nt, 0) AS nt
+              FROM documents d LEFT JOIN npd n ON d.doc_id = n.fd
+            ),
+            ends AS (SELECT
+              (SELECT nt FROM hist ORDER BY doc_id ASC  LIMIT 1) AS first_nt,
+              (SELECT nt FROM hist ORDER BY doc_id DESC LIMIT 1) AS last_nt),
+            sat AS (
+              SELECT CASE WHEN (SELECT n_docs FROM nn) < 2 THEN 0.0
+                ELSE greatest(0.0, least(1.0,
+                  1.0 - CAST(CASE WHEN last_nt > 0 THEN last_nt ELSE 1 END AS DOUBLE)
+                      / CAST(CASE WHEN first_nt > 0 THEN first_nt ELSE 1 END AS DOUBLE)))
+                END AS saturation
+              FROM ends
+            )
+            SELECT CAST(floor(coverage * 1e6) AS BIGINT) AS coverage_fp,
+                   CAST(floor(consistency * 1e6) AS BIGINT) AS consistency_fp,
+                   CAST(floor(saturation * 1e6) AS BIGINT) AS saturation_fp,
+                   CAST(floor((0.4 * coverage + 0.3 * consistency
+                               + 0.3 * saturation) * 1e6) AS BIGINT) AS confidence_fp
+            FROM cov, cons, sat
+        """,
+        # N4/N5: expected base domains by construction of each variant
+        "base_domain": """
+            WITH v AS (
+              SELECT doc_id, 0 AS kind FROM documents
+              UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 6 = 0
+              UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 5 = 0
+              UNION ALL SELECT doc_id, 3 FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT doc_id, kind,
+                   CASE kind
+                     WHEN 0 THEN 'example.com'
+                     WHEN 1 THEN 'partner.org'
+                     WHEN 2 THEN 'shop' || CAST(doc_id % 4 AS VARCHAR) || '.co.uk'
+                     ELSE 'example.com' END AS base_dom,
+                   kind IN (1, 2) AS is_ext
+            FROM v
+        """,
+        "head_fingerprint": f"""
+            WITH h AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 4 = 0 THEN 'spark crawl ' ELSE '' END)
+                  || repeat('t', 40 + CAST(doc_id % 35 AS INT)) AS title,
+                repeat('d', 100 + CAST(doc_id % 120 AS INT)) AS description,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN {_sql_url("doc_id")}
+                  WHEN 1 THEN {_sql_url("doc_id")} || 'x'
+                  ELSE '' END AS canonical,
+                CASE WHEN doc_id % 5 = 0 THEN 'noindex,follow'
+                     ELSE 'index,follow' END AS robots
+              FROM documents
+            )
+            SELECT doc_id,
+                   {_md5long_sql("title || '|' || description || '|' || canonical || '|' || robots")}
+                   AS head_fp
+            FROM h
+        """,
+        "max_links_trim": f"""
+            WITH n AS (SELECT count(*) AS c FROM documents),
+            links AS (
+              SELECT doc_id, j, (doc_id * 3 + j) % (SELECT c FROM n) AS child
+              FROM documents, (SELECT UNNEST([1, 2, 3]) AS j)
+            ),
+            scored AS (
+              SELECT doc_id, j, child,
+                     (CASE WHEN contains({_sql_url("child")}, 'docs') THEN 1 ELSE 0 END
+                    + CASE WHEN contains({_sql_url("child")}, 'blog') THEN 1 ELSE 0 END) / 2.0 AS s
+              FROM links
+            )
+            SELECT doc_id, j, child FROM (
+              SELECT doc_id, j, child,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, j) AS rn
+              FROM scored
+            ) WHERE rn <= 2
+        """,
+        "cache_mode": """
+            SELECT CAST(doc_id % 7 AS INT) AS bucket,
+                   count(*) AS n,
+                   sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS cache_hits,
+                   sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS live_fetches
+            FROM documents GROUP BY 1
+        """,
+        "queue_stats": """
+            SELECT 'd' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                                    ELSE doc_id % 7 END AS VARCHAR) AS domain,
+                   count(*) AS queued,
+                   max(200.0 - CAST(doc_id * 7 % 101 AS DOUBLE)) AS max_wait,
+                   CAST(floor(avg(200.0 - CAST(doc_id * 7 % 101 AS DOUBLE)) * 1e6) AS BIGINT)
+                     AS avg_wait_fp
+            FROM documents GROUP BY 1
         """,
     }
 

@@ -117,6 +117,93 @@ def is_external_udf(url: pd.Series, base_domain: pd.Series) -> pd.Series:
     )
 
 
+def _fast_parts(href: Column, base_url: Column):
+    """Shared Column pieces of the JVM fast-path normalizer."""
+    h = F.trim(href)
+    nofrag = F.substring_index(h, "#", 1)
+    has_query = nofrag.contains("?")
+    is_http_abs = nofrag.rlike(r"^(?i)https?://")
+    # single leading slash (not protocol-relative //host)
+    is_root_rel = nofrag.rlike(r"^/(?!/)")
+    b_scheme = F.lower(
+        F.regexp_extract(base_url, r"^(?i)([a-z][a-z0-9+.\-]*)://", 1)
+    )
+    b_netloc = F.lower(
+        F.regexp_extract(base_url, r"^(?i)[a-z][a-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    eligible = (
+        href.isNotNull()
+        & ~has_query
+        & (
+            is_http_abs
+            | (is_root_rel & (b_scheme != "") & (b_netloc != ""))
+        )
+    )
+    scheme = F.lower(F.regexp_extract(nofrag, r"^(?i)(https?)://", 1))
+    netloc = F.lower(F.regexp_extract(nofrag, r"^(?i)https?://([^/?#]*)", 1))
+    path_abs = F.regexp_extract(nofrag, r"^(?i)https?://[^/?#]*([^?#]*)", 1)
+    fast = F.when(
+        is_http_abs,
+        F.concat(
+            scheme, F.lit("://"), netloc,
+            F.when(path_abs == "", F.lit("/")).otherwise(path_abs),
+        ),
+    ).otherwise(F.concat(b_scheme, F.lit("://"), b_netloc, nofrag))
+    return eligible, fast
+
+
+def normalize_eligible_fast(href: Column, base_url: Column) -> Column:
+    """True where the JVM fast path reproduces the reference normalizer
+    byte-for-byte: no query string AND (absolute http(s) OR
+    root-relative against a usable base)."""
+    eligible, _ = _fast_parts(href, base_url)
+    return eligible
+
+
+def normalize_fast_expr(href: Column, base_url: Column) -> Column:
+    """JVM-only normalization, valid ONLY where ``normalize_eligible_fast``
+    holds: strip fragment, lowercase netloc, default path to '/',
+    resolve root-relative hrefs against the base's scheme+netloc.
+
+    For no-query hrefs the reference normalizer (utils.py:2317-2373)
+    reduces to exactly this ("urljoin → lowercase netloc → drop
+    fragment → path or '/'"); tests/test_normalize.py cross-checks
+    every case class against the Python implementation.
+    """
+    _, fast = _fast_parts(href, base_url)
+    return fast
+
+
+def with_normalized(
+    df, href_col: str, base_col: str, out_col: str = "norm_url"
+):
+    """Hybrid normalizer over a DataFrame: JVM fast path + Arrow UDF
+    fallback, via filter/union.
+
+    The pandas-UDF bridge is the crawl loop's throughput ceiling (it
+    moves every row JVM→Python→JVM and scales poorly with cores), so
+    rows the fast path can handle never leave the JVM.  The split MUST
+    be a physical filter+union: a ``when(eligible, fast).otherwise(udf)``
+    expression does NOT short-circuit — Catalyst extracts Python UDFs
+    into an unconditional ArrowEvalPython node, so every row would pay
+    the bridge anyway.
+
+    At web scale the overwhelming majority of anchors are plain
+    absolute or root-relative links without query strings, so the
+    Python fallback sees only the long tail (query-bearing, special
+    schemes, dot-segments, protocol-relative, empty).
+    """
+    href, base = F.col(href_col), F.col(base_col)
+    eligible = normalize_eligible_fast(href, base)
+    fast = df.filter(eligible).withColumn(
+        out_col, normalize_fast_expr(href, base)
+    )
+    slow = df.filter(~eligible | href.isNull()).withColumn(
+        out_col, normalize_udf(href, base)
+    )
+    return fast.unionByName(slow)
+
+
 def url_hash(url_col: Column | str) -> Column:
     """64-bit URL hash for the seen-set / bloom segments.
 

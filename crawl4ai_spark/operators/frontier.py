@@ -44,6 +44,7 @@ hot domains only matter for the politeness window, which partitions by
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -51,7 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crawl4ai_spark.functions.filters import FilterChain, valid_crawl_url
-from crawl4ai_spark.functions.normalize import normalize_udf
+from crawl4ai_spark.functions.normalize import with_normalized
 from crawl4ai_spark.functions.scorers import Scorer
 from crawl4ai_spark.operators.ordering import with_global_cumsum, with_global_rank
 from crawl4ai_spark.operators.politeness import PolitenessSpec, PolitenessState
@@ -111,6 +112,10 @@ class CrawlSpec:
     resume_state: dict | None = None
     # directory for per-round snapshots (plans/checkpoint.py); None = off
     checkpoint_dir: str | None = None
+    # discovery-stage respread: None = auto (only when the round has
+    # >5000 parents), True/False = force.  True is used by warm-up
+    # crawls so they compile the exact plan shape of large rounds.
+    repartition_discovery: bool | None = None
 
 
 class CrawlEngine:
@@ -140,14 +145,25 @@ class CrawlEngine:
 
     # -- public API ---------------------------------------------------------
 
-    def run(self, start_url: str | list[str]) -> DataFrame:
-        """Crawl from one seed (reference semantics) or a seed list.
+    def run(self, start_url: str | list[str] | DataFrame) -> DataFrame:
+        """Crawl from one seed (reference semantics), a seed list, or a
+        seed DataFrame.
 
         Multi-seed is the scale mode: all seeds enter the round-0
         frontier and share one URL-seen set — the production-crawler
         behavior (the reference instead runs deep crawls sequentially
         per seed, async_webcrawler.py:1026-1052; our oracle implements
-        the shared-frontier semantics for parity testing)."""
+        the shared-frontier semantics for parity testing).
+
+        A DataFrame seed source (column ``url``; optional ``seq`` for
+        explicit ordering, otherwise seeds are ordered by url) never
+        touches the driver — the 10^10-frontier entry path.  BFS only.
+        """
+        if isinstance(start_url, DataFrame):
+            if self.spec.strategy != "bfs":
+                raise ValueError("DataFrame seeds are supported for BFS only")
+            self._run_bfs(start_url)
+            return self.results()
         seeds = [start_url] if isinstance(start_url, str) else list(start_url)
         if self.spec.strategy == "bfs":
             self._run_bfs(seeds)
@@ -232,13 +248,30 @@ class CrawlEngine:
         )
         return self._checkpoint(emitted)
 
-    def _discover_candidates(self, parents: DataFrame, carry: tuple = ()) -> DataFrame:
+    def _discover_candidates(
+        self, parents: DataFrame, carry: tuple = (), n_parents_hint: int = 0,
+    ) -> DataFrame:
         """explode links → normalize → validity + filter chain + score.
 
         ``parents`` needs: url (source), emit_seq, depth, links.
         Returns: norm_url, parent_url, next_depth, link_idx, emit_seq, score.
         """
         spec = self.spec
+        do_repart = (
+            spec.repartition_discovery
+            if spec.repartition_discovery is not None
+            else n_parents_hint > 5000
+        )
+        if do_repart:
+            # The fetch-join output AQE-coalesces to few partitions (the
+            # frontier is small in bytes); without respreading, the
+            # explode→normalize→score stage runs nearly serial.  One
+            # round-robin shuffle of the parents (cheap: pre-explode row
+            # count) restores full parallelism for the round's heaviest
+            # stage.
+            parents = parents.repartition(
+                self.spark.sparkContext.defaultParallelism
+            )
         linked = parents.select(
             F.col("url").alias("src_url"),
             "emit_seq",
@@ -248,9 +281,9 @@ class CrawlEngine:
         ).filter(F.col("link").isNotNull())
         if not spec.include_external:
             linked = linked.filter(~F.col("link.is_external"))
-        cand = linked.withColumn(
-            "norm_url", normalize_udf(F.col("link.href"), F.col("src_url"))
-        ).filter(F.col("norm_url").isNotNull())
+        cand = with_normalized(linked, "link.href", "src_url").filter(
+            F.col("norm_url").isNotNull()
+        )
         cand = cand.withColumn("next_depth", F.col("depth") + 1).filter(
             F.col("next_depth") <= spec.max_depth
         )
@@ -288,6 +321,21 @@ class CrawlEngine:
                 ],
                 FRONTIER_SCHEMA,
             )
+        elif isinstance(seeds, DataFrame):
+            # distributed seed source: never collected on the driver
+            sdf = seeds
+            if "seq" not in sdf.columns:
+                sdf = with_global_rank(
+                    sdf.select("url").dropDuplicates(["url"]),
+                    [F.asc("url")], "seq",
+                )
+            frontier = sdf.select(
+                F.col("url"),
+                F.lit(None).cast("string").alias("parent_url"),
+                F.lit(0).cast("int").alias("depth"),
+                F.lit(0.0).alias("score"),
+                (F.col("seq") - F.lit(1)).cast("long").alias("seq"),
+            )
         else:
             frontier = spark.createDataFrame(
                 [(s, None, 0, 0.0, i) for i, s in enumerate(seeds)], FRONTIER_SCHEMA
@@ -303,8 +351,11 @@ class CrawlEngine:
         while round_no < spec.max_rounds:
             if self._pages_crawled >= spec.max_pages:
                 break
+            t = {}
+            t0 = time.time()
             frontier = self._checkpoint(frontier)
             n_frontier = frontier.count()
+            t["frontier_ckpt"] = round(time.time() - t0, 3)
             if n_frontier == 0:
                 break
 
@@ -313,16 +364,35 @@ class CrawlEngine:
             else:
                 frontier_now, deferred = frontier, None
 
+            t0 = time.time()
             fetched = self._fetch(frontier_now).persist()
-            emitted = self._emit(
-                fetched, round_no, [F.col("seq")], n_rows_hint=n_frontier
-            )
+            if politeness is None:
+                # Without a politeness split the frontier's seq is dense
+                # [emit_count, emit_count + n): each round's next-frontier
+                # ranks start exactly at the updated emit counter and every
+                # frontier row is fetched+emitted.  emit_seq == seq, so the
+                # global rank (range shuffle + offset collect) is skipped.
+                emitted = self._checkpoint(
+                    fetched.withColumn("emit_seq", F.col("seq"))
+                    .withColumn("round", F.lit(round_no))
+                    .select(
+                        "emit_seq", "round", "url", "depth", "parent_url",
+                        "score", "success", "status_code", "links",
+                    )
+                )
+            else:
+                emitted = self._emit(
+                    fetched, round_no, [F.col("seq")], n_rows_hint=n_frontier
+                )
             fetched.unpersist()
+            t["fetch_emit"] = round(time.time() - t0, 3)
 
+            t0 = time.time()
             stats = emitted.agg(
                 F.count("*").alias("n"),
                 F.sum(F.col("success").cast("long")).alias("ok"),
             ).collect()[0]
+            t["stats"] = round(time.time() - t0, 3)
             n_success = int(stats["ok"] or 0)
             prior_crawled = self._pages_crawled
             self._pages_crawled += n_success
@@ -335,6 +405,7 @@ class CrawlEngine:
                     "fetched": int(stats["n"]),
                     "succeeded": n_success,
                     "pages_crawled": self._pages_crawled,
+                    "t": t,
                 }
             )
             if politeness is not None:
@@ -362,7 +433,10 @@ class CrawlEngine:
                 carry = ("crawled_incl",)
             else:
                 carry = ()
-            cand = self._discover_candidates(parents, carry=carry)
+            t0 = time.time()
+            cand = self._discover_candidates(
+                parents, carry=carry, n_parents_hint=int(stats["n"]),
+            )
             cand = seen.anti_join(cand, "norm_url")
             # first-occurrence dedupe within the level == the reference's
             # sequential visited.add at discovery time (bfs_strategy.py:186)
@@ -373,9 +447,12 @@ class CrawlEngine:
                 .drop("first_rk")
             )
             deduped = self._checkpoint(deduped)
+            t["discover"] = round(time.time() - t0, 3)
             # ALL deduped (pre-trim) join the seen set — trimmed-off URLs
             # are never crawled later (reference quirk, bfs_strategy.py:186-196)
+            t0 = time.time()
             seen.add(deduped.select(F.col("norm_url").alias("url")))
+            t["seen_add"] = round(time.time() - t0, 3)
 
             # capacity trim per parent: remaining = max_pages - crawled@parent
             if spec.max_pages != math.inf:

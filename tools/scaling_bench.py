@@ -37,7 +37,7 @@ def run_level(cpus: int, sf_dir: str) -> dict:
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
@@ -62,6 +62,13 @@ def main():
         "# Scaling evidence (N vs 4N parallelism)\n\n"
         "Same job, same input, two parallelism levels (sandbox stand-in\n"
         "for two cluster sizes — BASELINE.md criterion).\n\n"
+        "Each local[N] level drives ~2N cores on this box (N JVM task\n"
+        "threads + N Arrow-UDF Python workers), so the N=4 / 4N=16 pair\n"
+        "is the largest 1:4 comparison where BOTH levels fit the\n"
+        "32-core machine without oversubscription — local[32] would\n"
+        "demand ~64 cores and measure contention, not scaling.  On a\n"
+        "real cluster each executor has its own host, so executor\n"
+        "count N vs 4N maps to exactly this comparison.\n\n"
         f"| level | cores | URLs/sec | suite wall s |\n|---|---|---|---|\n"
         f"| N | {n} | {t_lo} | {lo['value']} |\n"
         f"| 4N | {4*n} | {t_hi} | {hi['value']} |\n\n"
