@@ -855,6 +855,63 @@ def q_queue_stats(spark, sf_dir):
     )
 
 
+def q_adaptive_rank_links(spark, sf_dir):
+    """Adaptive link ranking by expected information gain
+    (adaptive_crawler.py:413-470): 0.5*relevance + 0.3*novelty + 0.2."""
+    from crawl4ai_spark.functions.adaptive import rank_links
+
+    docs = _docs(spark, sf_dir)
+    links = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("link_id"),
+        F.substring(F.col("text"), 1, 60).alias("link_text"),
+    )
+    out = rank_links(links, docs, "spark data web")
+    return out.select(
+        F.col("link_id").alias("doc_id"),
+        F.floor(F.col("score") * 1e6).cast("long").alias("gain_fp"),
+    )
+
+
+def q_image_resize(spark, sf_dir):
+    """Multimodal transform: decode → nearest-neighbor resize →
+    re-encode in mapInPandas Arrow batches; the oracle checks the
+    deterministic metadata (ids + output dims); pixel correctness is
+    covered by tests/test_images.py."""
+    from crawl4ai_spark.functions.images import resize_images
+    from crawl4ai_spark.sources.images import build_images
+
+    out = resize_images(build_images(spark, 60), 16, 12)
+    return out.select("image_id", "out_w", "out_h")
+
+
+def q_domain_map(spark, sf_dir):
+    """S10 DomainMapper (domain_mapper.py:122): union of per-source URL
+    discoveries (sitemap / Common-Crawl analogs) → dedupe → per-domain
+    inventory with per-source counts."""
+    du = _doc_urls(spark, sf_dir)
+    sitemap = du.filter(F.col("doc_id") % 2 == 0).select(
+        "url", F.lit("sitemap").alias("source")
+    )
+    cc = du.filter(F.col("doc_id") % 3 == 0).select(
+        "url", F.lit("cc").alias("source")
+    )
+    # first-source-wins dedupe (reference merges source dicts in order)
+    merged = sitemap.unionByName(cc)
+    w = Window.partitionBy("url").orderBy(
+        F.when(F.col("source") == "sitemap", 0).otherwise(1)
+    )
+    deduped = (
+        merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    domain = F.regexp_extract(F.col("url"), r"^https://([^/]*)", 1)
+    return deduped.groupBy(domain.alias("domain")).agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.when(F.col("source") == "sitemap", 1).otherwise(0)).alias("n_sitemap"),
+        F.sum(F.when(F.col("source") == "cc", 1).otherwise(0)).alias("n_cc"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BFS deep crawl (depth 2) over the synthetic corpus
     sized from sf0.001 documents."""
@@ -913,6 +970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_links_trim": q_max_links_trim,
         "cache_mode": q_cache_mode,
         "queue_stats": q_queue_stats,
+        "domain_map": q_domain_map,
+        "image_resize": q_image_resize,
+        "adaptive_rank_links": q_adaptive_rank_links,
     }
     return qs
 
@@ -1557,6 +1617,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(avg(200.0 - CAST(doc_id * 7 % 101 AS DOUBLE)) * 1e6) AS BIGINT)
                      AS avg_wait_fp
             FROM documents GROUP BY 1
+        """,
+        "domain_map": """
+            WITH merged AS (
+              SELECT doc_id, 'sitemap' AS source FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id, 'cc' FROM documents WHERE doc_id % 3 = 0
+            ),
+            dd AS (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY CASE WHEN source = 'sitemap' THEN 0 ELSE 1 END
+              ) AS rk
+              FROM merged
+            )
+            SELECT 'd' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                                    ELSE doc_id % 7 END AS VARCHAR)
+                       || '.example.com' AS domain,
+                   count(*) AS n_urls,
+                   sum(CASE WHEN source = 'sitemap' THEN 1 ELSE 0 END) AS n_sitemap,
+                   sum(CASE WHEN source = 'cc' THEN 1 ELSE 0 END) AS n_cc
+            FROM dd WHERE rk = 1
+            GROUP BY 1
+        """,
+        "image_resize": """
+            SELECT 'img-' || CAST(i AS VARCHAR) AS image_id,
+                   16 AS out_w, 12 AS out_h
+            FROM range(60) t(i)
+        """,
+        "adaptive_rank_links": """
+            WITH vocab AS (
+              SELECT DISTINCT UNNEST(list_filter(
+                string_split_regex(
+                  regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+                x -> length(x) > 2)) AS term
+              FROM documents
+            ),
+            lt AS (
+              SELECT DISTINCT doc_id,
+                UNNEST(list_filter(
+                  string_split_regex(
+                    regexp_replace(lower(substr(text, 1, 60)), '[^\w\s]', ' ', 'g'),
+                    '\s+'),
+                  x -> length(x) > 2)) AS term
+              FROM documents WHERE doc_id % 5 <> 0
+            ),
+            nt AS (SELECT doc_id, count(*) AS n_t FROM lt GROUP BY doc_id),
+            nq AS (
+              SELECT doc_id, count(*) AS n_q FROM lt
+              WHERE term IN ('data','spark','web') GROUP BY doc_id
+            ),
+            nn AS (
+              SELECT doc_id, count(*) AS n_new FROM lt
+              WHERE term NOT IN (SELECT term FROM vocab) GROUP BY doc_id
+            ),
+            base AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0)
+            SELECT b.doc_id,
+                   CAST(floor((
+                     0.5 * (coalesce(nq.n_q, 0) / 3.0)
+                   + 0.3 * (CASE WHEN nt.n_t IS NULL OR nt.n_t = 0 THEN 0.5
+                                 ELSE CAST(coalesce(nn.n_new, 0) AS DOUBLE) / nt.n_t END)
+                   + 0.2 * 1.0) * 1e6) AS BIGINT) AS gain_fp
+            FROM base b
+            LEFT JOIN nt USING (doc_id)
+            LEFT JOIN nq USING (doc_id)
+            LEFT JOIN nn USING (doc_id)
         """,
     }
 

@@ -2,15 +2,18 @@
 
 Measures the crawl engine + training-data operators at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] (default 32).
+local[$SPARK_GRAFT_CPUS] (default 16: every local[N] crawl stage
+drives ~2N cores — N JVM task threads + N Arrow python workers — so
+N=16 saturates the 32-core box; local[32] oversubscribes it and
+measures contention).
 
 The headline metric is crawl throughput: URLs scheduled+fetched per
-second over a multi-seed BFS frontier on a synthetic corpus ~40× the
-documents table (sf0.1 → ~200k pages, ~24k URLs fetched per run).
-`value` is total wall seconds across the suite (driver contract);
-`urls_per_sec` carries the throughput headline.  Scaling-efficiency
-evidence (local[8] vs local[32]) is produced by tools/scaling_bench.py
-into BENCH notes per BASELINE.md.
+second over a multi-seed BFS frontier on a synthetic corpus 100× the
+documents table (sf0.1 → 500k pages).  `value` is total wall seconds
+across the suite (driver contract); `urls_per_sec` carries the
+throughput headline.  Scaling-efficiency evidence (local[4] vs
+local[16], ~6M-URL depth-3 crawl) is produced by
+tools/scaling_bench.py into BENCH_SCALING.md per BASELINE.md.
 """
 
 from __future__ import annotations
@@ -41,14 +44,18 @@ from crawl4ai_spark.session import get_spark
 from crawl4ai_spark.sources import corpus
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 # MODE=suite: full operator suite; MODE=scaling: BFS throughput only,
 # with a frontier big enough to be compute-bound (the scaling-efficiency
 # measurement per BASELINE.md)
 MODE = os.environ.get("BENCH_MODE", "suite")
 _SCALING = MODE == "scaling"
-CORPUS_MULT = int(os.environ.get("BENCH_CORPUS_MULT", "400" if _SCALING else "100"))
-N_SEEDS = int(os.environ.get("BENCH_SEEDS", "60000" if _SCALING else "8000"))
+CORPUS_MULT = int(os.environ.get("BENCH_CORPUS_MULT", "1000" if _SCALING else "100"))
+N_SEEDS = int(os.environ.get("BENCH_SEEDS", "1000000" if _SCALING else "8000"))
+# the 5M-page scaling corpus is cached partitioned-by-url; give the
+# single local-mode JVM enough heap to hold it + shuffle buffers
+if _SCALING:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 # scaling mode crawls one level deeper: the deeper frontier grows the
 # per-round work so compute dominates the fixed per-round job overhead
 # (which is what the N-vs-4N efficiency criterion is supposed to see)
@@ -101,6 +108,8 @@ def main() -> None:
     # spawn) that is identical at every parallelism level.  Excluding
     # JIT warmup from the timed region is standard practice; without it
     # the scaling measurement mostly measures the constant warmup.
+    from crawl4ai_spark.operators import ordering as _ordering
+
     warm_eng = CrawlEngine(
         spark, pages,
         CrawlSpec(
@@ -108,7 +117,15 @@ def main() -> None:
             repartition_discovery=True,
         ),
     )
-    warm_eng.run([corpus.py_canonical_url(i * 31 % n_corpus) for i in range(64)])
+    _thr = _ordering.TWO_PHASE_THRESHOLD
+    _ordering.TWO_PHASE_THRESHOLD = 1  # compile the two-phase rank path too
+    try:
+        warm_seeds = spark.range(0, 64).select(
+            corpus.canonical_url_col((F.col("id") * 31) % n_corpus).alias("url")
+        )
+        warm_eng.run(warm_seeds)
+    finally:
+        _ordering.TWO_PHASE_THRESHOLD = _thr
     spark.range(0, CPUS * 4, 1, CPUS).select(
         normalize_udf(F.lit("https://w.com/a"), F.lit("https://w.com/")).alias("n")
     ).count()

@@ -178,6 +178,76 @@ def saturation_df(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def rank_links(
+    links: DataFrame,
+    corpus_docs: DataFrame,
+    query: str,
+    rel_w: float = 0.5,
+    nov_w: float = 0.3,
+    auth_w: float = 0.2,
+    id_col: str = "link_id",
+    text_col: str = "link_text",
+) -> DataFrame:
+    """Expected-information-gain link ranking
+    (adaptive_crawler.py:413-470; weights :171-173):
+
+    - relevance = |query_terms ∩ link_terms| / |query_terms|
+      (0.0 for empty link text);
+    - novelty   = |link_terms ∖ corpus_vocabulary| / |link_terms|
+      (1.0 when the knowledge base is empty, 0.5 for term-less links);
+    - authority = 1.0 (reference hardcodes it, :425-426);
+    - score     = rel_w·relevance + nov_w·novelty + auth_w·authority.
+
+    Distributed form: vocabulary membership is an anti-join of the
+    exploded link terms against the corpus term dictionary — no
+    driver-side vocabulary set, so it scales to any corpus size.
+    """
+    qterms = sorted(set(py_tokenize(query.lower())))
+    n_q = len(qterms)
+    vocab = term_doc_pairs(corpus_docs).select("term").distinct()
+    corpus_empty = corpus_docs.isEmpty()
+
+    lt = links.select(
+        F.col(id_col).alias("link_id"),
+        F.explode(terms_column(F.col(text_col))).alias("term"),
+    ).distinct()
+    n_terms = lt.groupBy("link_id").agg(F.count("*").alias("n_t"))
+    over = (
+        lt.filter(F.col("term").isin(qterms))
+        .groupBy("link_id")
+        .agg(F.count("*").alias("n_q"))
+        if n_q
+        else None
+    )
+    new_terms = lt.join(vocab, "term", "left_anti").groupBy("link_id").agg(
+        F.count("*").alias("n_new")
+    )
+    out = links.select(F.col(id_col).alias("link_id")).join(
+        n_terms, "link_id", "left"
+    ).join(new_terms, "link_id", "left")
+    if over is not None:
+        out = out.join(over, "link_id", "left")
+        relevance = F.coalesce(F.col("n_q"), F.lit(0)) / F.lit(float(n_q))
+    else:
+        relevance = F.lit(0.0)
+    if corpus_empty:
+        novelty = F.lit(1.0)
+    else:
+        novelty = (
+            F.when(
+                F.col("n_t").isNull() | (F.col("n_t") == 0), F.lit(0.5)
+            ).otherwise(
+                F.coalesce(F.col("n_new"), F.lit(0)) / F.col("n_t")
+            )
+        )
+    score = (
+        F.lit(rel_w) * relevance
+        + F.lit(nov_w) * novelty
+        + F.lit(auth_w) * F.lit(1.0)
+    )
+    return out.select("link_id", score.alias("score"))
+
+
 def confidence_df(docs: DataFrame, query: str, kb_limit: int = 40,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """1-row (coverage, consistency, saturation, confidence) —

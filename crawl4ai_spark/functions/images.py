@@ -211,6 +211,150 @@ def validate_images(
 
 
 # ---------------------------------------------------------------------------
+# Multimodal transforms — mapInPandas over binary columns (training-data
+# pipeline ops: resize / feature-extract / frame-sample).  The PNG-subset
+# codec above is the real decode; true JPEG/video entropy codecs do not
+# exist in this container and are stubbed behind NotImplementedError with
+# a deterministic fake container for testing the Spark plumbing.
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+    ]
+)
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (no image libs needed)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[ys][:, xs]
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """(image_id, bytes[, ...]) → (image_id, bytes, out_w, out_h).
+
+    Decode → nearest-neighbor resize → re-encode, executor-side in
+    Arrow batches; only (image_id, bytes) are shipped into Python
+    (column pruning keeps the rest JVM-side)."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                pix = png_decode(bytes(r.bytes))
+                small = resize_nearest(pix, out_h, out_w)
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": png_encode(small),
+                        "out_w": out_w,
+                        "out_h": out_h,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return images.select("image_id", "bytes").mapInPandas(do, RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def image_features(images: DataFrame, grid: int = 4) -> DataFrame:
+    """Block-mean RGB feature vector (grid×grid×3 floats in [0,1]) —
+    the feature-extract stage of a multimodal training pipeline;
+    output feeds functions/similarity.py (cosine top-k / LSH ANN)."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                pix = png_decode(bytes(r.bytes)).astype(np.float64) / 255.0
+                blocks = resize_nearest(
+                    (pix * 255).astype(np.uint8), grid, grid
+                ).astype(np.float64) / 255.0
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "features": [float(x) for x in blocks.ravel()],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA])
+
+    return images.select("image_id", "bytes").mapInPandas(do, FEATURES_SCHEMA)
+
+
+# -- video frame sampling ----------------------------------------------------
+
+FAKE_VIDEO_NOTE = (
+    "fmt='fakevid' is a deterministic stand-in container: 4-byte big-endian "
+    "frame count, then length-prefixed PNG frames.  Real video codecs "
+    "(h264/vp9/av1) are unavailable in this environment → NotImplementedError."
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+    ]
+)
+
+
+def fake_video_encode(frames: list[np.ndarray]) -> bytes:
+    payload = struct.pack(">I", len(frames))
+    for f in frames:
+        png = png_encode(f)
+        payload += struct.pack(">I", len(png)) + png
+    return payload
+
+
+def sample_frames(videos: DataFrame, every_n: int = 2) -> DataFrame:
+    """(video_id, bytes, fmt) → one row per sampled frame.
+
+    Spark plumbing (schema, Arrow batches, row explosion in
+    mapInPandas) is real; only the codec for true video formats is
+    stubbed (FAKE_VIDEO_NOTE)."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.fmt != "fakevid":
+                    raise NotImplementedError(FAKE_VIDEO_NOTE)
+                data = bytes(r.bytes)
+                (n_frames,) = struct.unpack(">I", data[:4])
+                pos = 4
+                for idx in range(n_frames):
+                    (ln,) = struct.unpack(">I", data[pos : pos + 4])
+                    png = data[pos + 4 : pos + 4 + ln]
+                    pos += 4 + ln
+                    if idx % every_n == 0:
+                        rows.append(
+                            {
+                                "video_id": r.video_id,
+                                "frame_idx": idx,
+                                "bytes": png,
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA])
+
+    return videos.select("video_id", "bytes", "fmt").mapInPandas(
+        do, FRAMES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # image score rubric (content_scraping_strategy.py:440-467): +1 each for
 # width>150, height>150, alt present, early position (index/total < 0.5),
 # known format, srcset present, <picture> parent

@@ -125,9 +125,19 @@ class CrawlEngine:
 
     @classmethod
     def prepare_pages(cls, pages: DataFrame) -> DataFrame:
-        """Project + persist the fetch-relevant corpus columns once;
-        pass the result to several engines to share one cache."""
-        return pages.select(*cls.FETCH_COLS).persist()
+        """Project + hash-partition by url + persist the fetch-relevant
+        corpus columns once; pass the result to several engines to share
+        one cache.
+
+        The repartition matters at scale: InMemoryRelation preserves
+        the HashPartitioning(url) of the cached data, so every round's
+        fetch join shuffles ONLY the (small) frontier side — without
+        it, the whole corpus re-shuffles on every round.  Equivalent to
+        bucketing the Iceberg pages table by url on a real deployment.
+        """
+        spark = pages.sparkSession
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        return pages.select(*cls.FETCH_COLS).repartition(n, "url").persist()
 
     def __init__(self, spark: SparkSession, pages: DataFrame, spec: CrawlSpec):
         self.spark = spark
@@ -615,21 +625,22 @@ class CrawlEngine:
         while round_no < spec.max_rounds:
             if self._pages_crawled >= spec.max_pages:
                 break
-            # checkpoint the (small) queue every round: each pop is a
-            # single-partition window, so an un-checkpointed chain makes
-            # round N recompute rounds 1..N-1's windows — measurably
-            # worse than the ~0.3s materialization
-            queue = self._checkpoint(queue)
-            rounds_since_ckpt = 0
+            # Bound the queue's lazy plan: every popped/new_items part is
+            # checkpointed, so the un-materialized chain is a few cheap
+            # anti-joins/unions over tiny cached parts; a full queue
+            # checkpoint every 4 rounds keeps planning time flat without
+            # paying a materialization job per round.
+            if rounds_since_ckpt >= 4:
+                queue = self._checkpoint(queue)
+                rounds_since_ckpt = 0
             # queue size is tracked arithmetically — no isEmpty action
             if queue_size <= 0:
                 break
 
-            popped = (
+            popped = self._checkpoint(
                 with_global_rank(queue, pop_order, "pop_rn",
                                  n_rows_hint=queue_size)
                 .filter(F.col("pop_rn") <= spec.batch_size)
-                .persist()
             )
             queue = queue.join(
                 popped.select("enq_seq"), "enq_seq", "left_anti"
@@ -653,7 +664,6 @@ class CrawlEngine:
                     F.col("pop_rn").alias("seq"),
                 )
             )
-            popped.unpersist()
             seen.add(batch.select("url"))
 
             fetched = self._fetch(batch)
@@ -686,6 +696,7 @@ class CrawlEngine:
             if n_emitted == 0:  # whole batch was already-visited dupes
                 emitted.unpersist()
                 round_no += 1
+                rounds_since_ckpt += 1
                 continue
             self._pages_crawled += n_success
             self._result_parts.append(emitted.drop("links", "cum_ok"))
@@ -726,6 +737,10 @@ class CrawlEngine:
                 F.col("src_url").alias("parent_url"),
                 (F.col("__enq_rn") + F.lit(enq_count) - 1).alias("enq_seq"),
             )
+            # checkpoint the (small) new_items part: the count below and
+            # every later pop reuse it without re-running the discovery
+            # pipeline (which crosses the Arrow UDF bridge)
+            new_items = self._checkpoint(new_items)
             n_new = new_items.count()
             enq_count += n_new
             queue_size += n_new
@@ -737,6 +752,7 @@ class CrawlEngine:
             if reached_cap:
                 break
             round_no += 1
+            rounds_since_ckpt += 1
 
 
         self._pending_rows = [

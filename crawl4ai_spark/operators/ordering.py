@@ -21,8 +21,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # below this row count a plain global window is cheaper than the extra
-# shuffle + collect of the two-phase plan
-TWO_PHASE_THRESHOLD = 50_000
+# shuffle + collect of the two-phase plan (env override: bench warm-up
+# lowers it to compile the two-phase plan shape before timing)
+import os
+
+TWO_PHASE_THRESHOLD = int(
+    os.environ.get("SPARK_GRAFT_TWO_PHASE_THRESHOLD", "50000")
+)
 
 
 def with_global_rank(

@@ -126,26 +126,47 @@ class PolitenessState:
             F.coalesce(F.col("current_delay"), init_delay(F.col("domain"))),
         ).withColumn("retired", F.coalesce(F.col("retired"), F.lit(False)))
 
-    def split_budget(self, frontier: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def split_budget(
+        self, frontier: DataFrame, salt_n: int | None = None
+    ) -> tuple[DataFrame, DataFrame]:
         """(now, deferred): per-domain top-``budget`` rows by frontier
         priority (seq asc) crawl this round; the rest wait.  Retired
         domains' rows are dropped (reference returns rate-limit error
-        results past max_retries)."""
+        results past max_retries).
+
+        Hot-domain skew (SURVEY.md §2.4 skew note; the synthetic corpus
+        puts ~half of all URLs on one domain) is broken with a salted
+        two-phase top-k: rows first rank within (domain, salt) buckets —
+        a salted repartition that spreads a hot domain over ``salt_n``
+        tasks — and any row ranked past the budget inside its own bucket
+        cannot be in the domain's global top-budget, so it defers
+        immediately.  The exact per-domain window then runs over ≤
+        salt_n × budget survivors per domain instead of the full (skewed)
+        frontier.
+        """
         from pyspark.sql import Window
 
         spec = self.spec
+        salt_n = salt_n or self.spark.sparkContext.defaultParallelism
         fr = self._with_delay(frontier).filter(~F.col("retired"))
         budget = F.greatest(
             F.lit(1),
             F.floor(F.lit(spec.round_duration) / F.col("current_delay")),
         )
-        w = Window.partitionBy("domain").orderBy("seq")
-        fr = fr.withColumn("__rn", F.row_number().over(w)).withColumn(
-            "__budget", budget
-        )
         cols = frontier.columns
-        now = fr.filter(F.col("__rn") <= F.col("__budget")).select(*cols)
-        deferred = fr.filter(F.col("__rn") > F.col("__budget")).select(*cols)
+        fr = fr.withColumn("__budget", budget).withColumn(
+            "__salt", F.pmod(F.xxhash64("url"), F.lit(salt_n))
+        )
+        w_salt = Window.partitionBy("domain", "__salt").orderBy("seq")
+        fr = fr.withColumn("__rns", F.row_number().over(w_salt))
+        survivors = fr.filter(F.col("__rns") <= F.col("__budget"))
+        pre_deferred = fr.filter(F.col("__rns") > F.col("__budget"))
+        w = Window.partitionBy("domain").orderBy("seq")
+        ranked = survivors.withColumn("__rn", F.row_number().over(w))
+        now = ranked.filter(F.col("__rn") <= F.col("__budget")).select(*cols)
+        deferred = ranked.filter(F.col("__rn") > F.col("__budget")).select(
+            *cols
+        ).unionByName(pre_deferred.select(*cols))
         return now, deferred
 
     def update(self, outcomes: DataFrame, round_no: int) -> None:

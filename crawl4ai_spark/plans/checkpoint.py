@@ -25,6 +25,7 @@ import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def snapshot_round(
@@ -42,6 +43,17 @@ def snapshot_round(
     if seen is not None:
         seen.write.mode("overwrite").parquet(str(base / "seen"))
         counts["seen"] = seen.count()
+        # per-partition lineage (north rule): which partition holds how
+        # many seen URLs, with the url-hash range it covers — enough to
+        # re-derive bloom segment ownership on resume
+        lineage = seen.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(
+            F.count("*").alias("n_urls"),
+            F.min(F.xxhash64("url")).alias("min_url_hash"),
+            F.max(F.xxhash64("url")).alias("max_url_hash"),
+        )
+        lineage.write.mode("overwrite").parquet(str(base / "seen_lineage"))
     for name, df in tables.items():
         if df is None:
             continue
@@ -119,7 +131,11 @@ def resume_state_from_snapshot(
         ]
         state["dfs_seen"] = state["visited"]
     if strategy == "best_first" and "queue" in snap:
-        rows = snap["queue"].collect()
+        # heap order (-score, depth, url, parent) — the reference's
+        # queue_items serialization order (bff_strategy.py:332-345)
+        rows = snap["queue"].orderBy(
+            "neg_score", "depth", "url", "parent_url"
+        ).collect()
         state["queue_items"] = [
             {
                 "score": r["neg_score"],

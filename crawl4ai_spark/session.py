@@ -55,7 +55,18 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE default OFF for the crawl engine: a batch-iterative crawl
+        # job runs hundreds of small exchanges; AQE's per-exchange
+        # materialization barrier + replan serializes them (measured 3x
+        # slowdown at local[16] on the scaling bench).  Partitioning is
+        # managed explicitly instead: corpus cache pre-partitioned by
+        # url, discovery respread to defaultParallelism, two-phase
+        # global ranks, salted politeness windows.  Flip the env var for
+        # workloads that want runtime re-planning / skew-join instead.
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("SPARK_GRAFT_AQE", "false"),
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -66,6 +77,10 @@ def get_spark(
         # Iterative round loop: keep broadcast threshold default but make
         # in-memory relations cheap to re-join.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # fetch join: corpus side is cached pre-partitioned on url;
+        # shuffled-hash join streams it without sorting 10^10 rows
+        # per round (build side = the bounded per-round frontier)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():

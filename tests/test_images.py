@@ -90,3 +90,75 @@ def test_image_score_rubric(spark):
     ).collect()
     for r in got:
         assert r["s"] == r["expected"]
+
+
+# -- multimodal transforms (resize / features / frame sampling) -------------
+
+def test_resize_images(spark):
+    from crawl4ai_spark.functions.images import (
+        png_decode, resize_images, resize_nearest,
+    )
+    from crawl4ai_spark.sources.images import build_images
+
+    src = build_images(spark, 6)
+    originals = {r["image_id"]: bytes(r["bytes"]) for r in src.collect()}
+    out = {r["image_id"]: r for r in resize_images(src, 16, 12).collect()}
+    assert set(out) == set(originals)
+    for iid, r in out.items():
+        assert (r["out_w"], r["out_h"]) == (16, 12)
+        got = png_decode(bytes(r["bytes"]))
+        want = resize_nearest(png_decode(originals[iid]), 12, 16)
+        assert got.shape == (12, 16, 3)
+        assert (got == want).all()
+
+
+def test_image_features(spark):
+    import numpy as np
+
+    from crawl4ai_spark.functions.images import (
+        image_features, png_decode, resize_nearest,
+    )
+    from crawl4ai_spark.sources.images import build_images
+
+    src = build_images(spark, 4)
+    originals = {r["image_id"]: bytes(r["bytes"]) for r in src.collect()}
+    rows = {r["image_id"]: r["features"] for r in image_features(src, grid=4).collect()}
+    for iid, feats in rows.items():
+        assert len(feats) == 48
+        assert all(0.0 <= f <= 1.0 for f in feats)
+        pix = png_decode(originals[iid])
+        want = resize_nearest(pix, 4, 4).astype(np.float64) / 255.0
+        assert np.allclose(np.array(feats).reshape(4, 4, 3), want, atol=1e-6)
+
+
+def test_sample_frames(spark):
+    import numpy as np
+
+    from crawl4ai_spark.functions.images import (
+        fake_video_encode, png_decode, reference_pixels, sample_frames,
+    )
+
+    frames = [reference_pixels(f"vid0-f{i}", 8, 6) for i in range(5)]
+    df = spark.createDataFrame(
+        [("vid0", bytearray(fake_video_encode(frames)), "fakevid")],
+        "video_id string, bytes binary, fmt string",
+    )
+    got = sorted(
+        sample_frames(df, every_n=2).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in got] == [0, 2, 4]
+    for r in got:
+        assert np.array_equal(png_decode(bytes(r["bytes"])), frames[r["frame_idx"]])
+
+
+def test_sample_frames_real_codec_stubbed(spark):
+    import pytest as _pytest
+
+    from crawl4ai_spark.functions.images import sample_frames
+
+    df = spark.createDataFrame(
+        [("vid1", bytearray(b"\x00\x00"), "mp4")],
+        "video_id string, bytes binary, fmt string",
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|fakevid|codec"):
+        sample_frames(df).collect()

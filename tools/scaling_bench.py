@@ -41,8 +41,20 @@ def main():
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    lo = run_level(n, sf_dir)
-    hi = run_level(4 * n, sf_dir)
+    # best-of-REPS per level: the sandbox VM shows multi-minute noise
+    # spikes; taking the faster repeat measures the engine, not the
+    # neighbor (both levels get identical treatment).  The scaling
+    # workload crawls ~6M URLs, so default to one rep (SCALING_REPS=2
+    # for the more robust estimate when wall-clock allows).
+    reps = int(os.environ.get("SCALING_REPS", "1"))
+    lo = max(
+        (run_level(n, sf_dir) for _ in range(reps)),
+        key=lambda r: r["urls_per_sec"],
+    )
+    hi = max(
+        (run_level(4 * n, sf_dir) for _ in range(reps)),
+        key=lambda r: r["urls_per_sec"],
+    )
     t_lo = lo["urls_per_sec"]
     t_hi = hi["urls_per_sec"]
     eff = round((t_hi / t_lo) / 4, 3)
