@@ -631,7 +631,9 @@ def q_seo_filter(spark, sf_dir):
     )
     return h.select(
         "doc_id",
-        F.floor(score * 1e6).cast("long").alias("seo_fp"),
+        # round(·,9) before floor: Spark's and DuckDB's double-arithmetic
+        # orderings can differ by one ULP, which straddles the floor edge.
+        F.floor(F.round(score, 9) * 1e6).cast("long").alias("seo_fp"),
         (score >= 0.65).alias("passed"),
     )
 
@@ -699,7 +701,8 @@ def q_total_score(spark, sf_dir):
     contextual = _COMPOSITE.column(F.col("url"))
     return du.select(
         "doc_id",
-        F.floor(total_score(intrinsic, contextual, True, True) * 1e6)
+        # round-before-floor: cross-engine ULP robustness (see q_seo_filter)
+        F.floor(F.round(total_score(intrinsic, contextual, True, True), 9) * 1e6)
         .cast("long")
         .alias("total_fp"),
     )
@@ -1154,7 +1157,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM firsts UNION ALL SELECT * FROM start_recrawl
             )
             SELECT CAST(e.depth AS INT) AS depth, count(*) AS fetched,
-                   SUM(CASE WHEN nd.success THEN 1 ELSE 0 END) AS succeeded
+                   CAST(SUM(CASE WHEN nd.success THEN 1 ELSE 0 END) AS BIGINT) AS succeeded
             FROM emitted e JOIN nodes nd ON nd.doc_id = e.doc_id
             GROUP BY e.depth
         """,
@@ -1323,7 +1326,7 @@ def oracle_sql() -> dict[str, str]:
                 AS seo
               FROM h
             )
-            SELECT doc_id, CAST(floor(seo * 1e6) AS BIGINT) AS seo_fp,
+            SELECT doc_id, CAST(floor(round(seo, 9) * 1e6) AS BIGINT) AS seo_fp,
                    seo >= 0.65 AS passed
             FROM s
         """,
@@ -1388,7 +1391,7 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, {url} AS url FROM documents)
             )
             SELECT doc_id,
-                   CAST(floor(greatest(0.0, least(intr * 0.7 + least(ctx * 10.0, 10.0) * 0.3, 10.0)) * 1e6) AS BIGINT) AS total_fp
+                   CAST(floor(round(greatest(0.0, least(intr * 0.7 + least(ctx * 10.0, 10.0) * 0.3, 10.0)), 9) * 1e6) AS BIGINT) AS total_fp
             FROM c
         """,
         "nonsense_url_filter": """
@@ -1605,8 +1608,8 @@ def oracle_sql() -> dict[str, str]:
         "cache_mode": """
             SELECT CAST(doc_id % 7 AS INT) AS bucket,
                    count(*) AS n,
-                   sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS cache_hits,
-                   sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS live_fetches
+                   CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cache_hits,
+                   CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS live_fetches
             FROM documents GROUP BY 1
         """,
         "queue_stats": """
@@ -1635,8 +1638,8 @@ def oracle_sql() -> dict[str, str]:
                                     ELSE doc_id % 7 END AS VARCHAR)
                        || '.example.com' AS domain,
                    count(*) AS n_urls,
-                   sum(CASE WHEN source = 'sitemap' THEN 1 ELSE 0 END) AS n_sitemap,
-                   sum(CASE WHEN source = 'cc' THEN 1 ELSE 0 END) AS n_cc
+                   CAST(sum(CASE WHEN source = 'sitemap' THEN 1 ELSE 0 END) AS BIGINT) AS n_sitemap,
+                   CAST(sum(CASE WHEN source = 'cc' THEN 1 ELSE 0 END) AS BIGINT) AS n_cc
             FROM dd WHERE rk = 1
             GROUP BY 1
         """,

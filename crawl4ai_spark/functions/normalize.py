@@ -131,13 +131,22 @@ def _fast_parts(href: Column, base_url: Column):
     b_netloc = F.lower(
         F.regexp_extract(base_url, r"^(?i)[a-z][a-z0-9+.\-]*://([^/?#]*)", 1)
     )
-    eligible = (
+    # Root-relative hrefs containing dot-segments ('/a/../b', '/a/./b')
+    # must fall to the UDF path: urljoin collapses them when resolving a
+    # relative reference, but the fast expression concatenates the path
+    # verbatim.  (Absolute http(s) hrefs legitimately KEEP dot-segments —
+    # urljoin returns an absolute href unchanged.)
+    has_dot_segment = nofrag.rlike(r"/\.\.?(/|$)")
+    # coalesce → false so a NULL base (or NULL href) routes to the UDF
+    # fallback instead of vanishing from both filter branches.
+    eligible = F.coalesce(
         href.isNotNull()
         & ~has_query
         & (
             is_http_abs
-            | (is_root_rel & (b_scheme != "") & (b_netloc != ""))
-        )
+            | (is_root_rel & ~has_dot_segment & (b_scheme != "") & (b_netloc != ""))
+        ),
+        F.lit(False),
     )
     scheme = F.lower(F.regexp_extract(nofrag, r"^(?i)(https?)://", 1))
     netloc = F.lower(F.regexp_extract(nofrag, r"^(?i)https?://([^/?#]*)", 1))
@@ -198,7 +207,9 @@ def with_normalized(
     fast = df.filter(eligible).withColumn(
         out_col, normalize_fast_expr(href, base)
     )
-    slow = df.filter(~eligible | href.isNull()).withColumn(
+    # eligibility is coalesced to false (never NULL), so ~eligible is the
+    # exact complement — no row can vanish from both branches.
+    slow = df.filter(~eligible).withColumn(
         out_col, normalize_udf(href, base)
     )
     return fast.unionByName(slow)

@@ -23,6 +23,9 @@ snapshot/Iceberg tables the crawl commits to; in tests they run with
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -65,11 +68,16 @@ def stream_windowed_events(
     older than (max event time − watermark) finalize and evict, so the
     query runs indefinitely at constant memory no matter how many
     billions of events flow through.
+
+    ``events_path`` may be a directory (the production shape: a table
+    location files land in) or a single parquet file — file streams
+    require a directory, so a lone file is exposed through a temp
+    directory symlink.
     """
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 8)
-        .parquet(events_path)
+        .parquet(_as_stream_dir(events_path))
     )
     return (
         src.withWatermark("ts", watermark)
@@ -85,6 +93,16 @@ def stream_windowed_events(
             "total_value",
         )
     )
+
+
+def _as_stream_dir(path: str) -> str:
+    """File streams only accept directories; wrap a single parquet file
+    in a temp directory via symlink (no data copy)."""
+    if not os.path.isfile(path):
+        return path
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+    return d
 
 
 def run_available_now(stream_df: DataFrame, sink_table: str) -> None:

@@ -98,6 +98,12 @@ HYBRID_CASES = [
     ("/root/relative", "https://D0.Example.com/dir/page"),
     ("/", "https://base.com/x"),
     ("/a/b#frag?notquery", "https://base.com/"),
+    ("/a/../b", "https://base.com/x"),                     # → UDF (dot-seg collapse)
+    ("/a/./b", "https://base.com/x"),                      # → UDF (dot-seg collapse)
+    ("/a/..", "https://base.com/x"),                       # → UDF (dot-seg at end)
+    ("/.well-known/x", "https://base.com/"),               # fast (not a dot-segment)
+    ("/a.b/c.d", "https://base.com/"),                     # fast (dots inside names)
+    ("/rel", None),                                        # NULL base → UDF, not dropped
     ("//proto.relative.com/x", "https://base.com/"),       # → UDF path
     ("relative/path", "https://base.com/dir/"),            # → UDF path
     ("../up", "https://base.com/a/b/"),                    # → UDF path
