@@ -155,6 +155,113 @@ def q_normalize_urls(spark, sf_dir):
     )
 
 
+def q_normalize_urls_full(spark, sf_dir):
+    """N1 normalize_url (full variant: big tracking set, sorted query,
+    blank values kept) over messy hrefs (Arrow UDF)."""
+    from crawl4ai_spark.functions.normalize import normalize_full_udf
+
+    du = _doc_urls(spark, sf_dir)
+    v = (F.col("doc_id") % 4).cast("int")
+    messy = F.concat(
+        F.col("url"),
+        F.when(v == 0, F.lit("?utm_term=x&ref_src=tw&b=2&a=1#frag"))
+        .when(v == 1, F.lit("?b=&a=1"))
+        .when(v == 2, F.lit("#keep"))
+        .otherwise(F.lit("?fbclid=1&GCLID=2")),
+    )
+    udf = normalize_full_udf()
+    return du.select("doc_id", udf(messy, F.col("url")).alias("norm_url"))
+
+
+def q_normalize_urls_efficient(spark, sf_dir):
+    """N3 efficient_normalize_url_for_deep_crawl: fragment dropped,
+    query (incl. tracking params) untouched."""
+    from crawl4ai_spark.functions.normalize import normalize_efficient_udf
+
+    du = _doc_urls(spark, sf_dir)
+    messy = F.concat(F.col("url"), F.lit("?utm_source=x&b=2#frag"))
+    return du.select(
+        "doc_id", normalize_efficient_udf(messy, F.col("url")).alias("norm_url")
+    )
+
+
+def q_sitemap_seeds(spark, sf_dir):
+    """S3: per-domain root sitemap INDEX → nested sub-sitemaps → page
+    URLs, through the real parse/expand pipeline (regex explode +
+    bounded join loop)."""
+    from crawl4ai_spark.sources.sitemap import seed_from_sitemaps
+
+    du = _doc_urls(spark, sf_dir)
+    docs = du.withColumn(
+        "domain", F.regexp_extract("url", r"^https://([^/]*)", 1)
+    )
+    entry = F.concat(F.lit("<url><loc>"), F.col("url"), F.lit("</loc></url>"))
+    subs = (
+        docs.groupBy("domain", (F.col("doc_id") % 2).alias("j"))
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws("", F.sort_array(F.collect_list(entry))),
+                F.lit("</urlset>"),
+            ).alias("content")
+        )
+        .select(
+            F.concat(
+                F.lit("https://"), F.col("domain"), F.lit("/sm-"),
+                F.col("j").cast("string"), F.lit(".xml"),
+            ).alias("sitemap_url"),
+            "content",
+        )
+    )
+    roots = docs.select("domain").distinct().select(
+        F.concat(F.lit("https://"), F.col("domain"), F.lit("/sitemap.xml"))
+        .alias("sitemap_url"),
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://"), F.col("domain"),
+            F.lit("/sm-0.xml</loc></sitemap><sitemap><loc>https://"),
+            F.col("domain"), F.lit("/sm-1.xml</loc></sitemap></sitemapindex>"),
+        ).alias("content"),
+    )
+    sitemap_docs = roots.unionByName(subs)
+    domains = docs.select("domain").distinct()
+    return seed_from_sitemaps(domains, sitemap_docs)
+
+
+def q_cc_seeds(spark, sf_dir):
+    """S4: CC-columnar-index seed read with domain pushdown + glob."""
+    from crawl4ai_spark.sources.sitemap import cc_index_seeds
+
+    du = _doc_urls(spark, sf_dir)
+    cc = du.select(
+        F.regexp_extract("url", r"^https://([^/]*)", 1)
+        .alias("url_host_registered_domain"),
+        "url",
+    )
+    return cc_index_seeds(cc, "d0.example.com", url_pattern="*/docs/*")
+
+
+def q_robots_allow(spark, sf_dir):
+    """S8 full parity: Allow+Disallow via the stdlib parser the
+    reference calls (first-match-in-file-order), fresh-TTL table."""
+    from crawl4ai_spark.operators.robots import RobotsTable
+
+    du = _doc_urls(spark, sf_dir)
+    table = RobotsTable.from_texts(
+        spark,
+        {
+            "d0.example.com": (
+                "User-agent: *\nAllow: /docs/2021/doc-1\n"
+                "Disallow: /docs/\nDisallow: /blog\n"
+            ),
+            "d1.example.com": "User-agent: *\nDisallow: /\n",
+        },
+        fetch_time=1_000_000,
+    )
+    return table.with_can_fetch(
+        du.select("doc_id", "url"), now=1_000_100
+    ).select("doc_id", "allowed")
+
+
 def q_seen_anti_join(spark, sf_dir):
     """J1: frontier candidates ∖ URL-seen via LEFT ANTI join."""
     du = _doc_urls(spark, sf_dir).select("doc_id", "url")
@@ -924,6 +1031,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "normalize_urls": q_normalize_urls,
+        "normalize_urls_full": q_normalize_urls_full,
+        "normalize_urls_efficient": q_normalize_urls_efficient,
+        "sitemap_seeds": q_sitemap_seeds,
+        "cc_seeds": q_cc_seeds,
+        "robots_allow": q_robots_allow,
         "seen_anti_join": q_seen_anti_join,
         "keyword_scorer": _scorer_query("keyword"),
         "content_type_scorer": _scorer_query("ctype"),
@@ -1006,6 +1118,43 @@ def oracle_sql() -> dict[str, str]:
         "normalize_urls": f"""
             SELECT doc_id,
                    {url} || '?b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1' AS norm_url
+            FROM documents
+        """,
+        "normalize_urls_full": f"""
+            SELECT doc_id,
+                   {url} || CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN '?a=1&b=2'
+                     WHEN 1 THEN '?a=1&b='
+                     ELSE '' END AS norm_url
+            FROM documents
+        """,
+        "normalize_urls_efficient": f"""
+            SELECT doc_id, {url} || '?utm_source=x&b=2' AS norm_url
+            FROM documents
+        """,
+        "sitemap_seeds": f"""
+            SELECT 'd' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                                    ELSE doc_id % 7 END AS VARCHAR)
+                       || '.example.com' AS domain,
+                   {url} AS url
+            FROM documents
+        """,
+        "cc_seeds": f"""
+            SELECT 'd0.example.com' AS domain, {url} AS url
+            FROM documents
+            WHERE (doc_id % 2 = 0 OR doc_id % 7 = 0) AND doc_id % 5 = 1
+        """,
+        "robots_allow": """
+            SELECT doc_id,
+              CASE
+                WHEN doc_id % 2 = 0 OR doc_id % 7 = 0 THEN
+                  CASE WHEN doc_id % 5 = 1 THEN
+                         (doc_id % 10 = 6 AND CAST(doc_id AS VARCHAR) LIKE '1%')
+                       WHEN doc_id % 5 = 0 THEN FALSE
+                       ELSE TRUE END
+                WHEN doc_id % 7 = 1 THEN FALSE
+                ELSE TRUE
+              END AS allowed
             FROM documents
         """,
         "seen_anti_join": f"""

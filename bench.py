@@ -158,7 +158,8 @@ def main() -> None:
     if _SCALING:
         print(json.dumps({
             "metric": "bfs_urls_per_sec", "value": extras["urls_per_sec"],
-            "unit": "urls/sec", "queries": timings, "sf": sf, "cpus": CPUS,
+            "unit": "urls/sec", "wall_s": timings["bfs_crawl"],
+            "queries": timings, "sf": sf, "cpus": CPUS,
             "corpus_pages": n_corpus, "seeds": len(seeds), **extras,
         }))
         return

@@ -21,7 +21,14 @@ sanctioned slow path).  URL hashing is JVM-side ``xxhash64``.
 from __future__ import annotations
 
 import re
-from urllib.parse import parse_qs, urlencode, urljoin, urlparse, urlunparse
+from urllib.parse import (
+    parse_qs,
+    parse_qsl,
+    urlencode,
+    urljoin,
+    urlparse,
+    urlunparse,
+)
 
 import pandas as pd
 from pyspark.sql import Column
@@ -29,6 +36,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign", "ref", "fbclid")
+
+# The full normalizer's larger tracking set (utils.py:2285-2289),
+# matched case-insensitively.
+FULL_TRACKING_PARAMS = frozenset(
+    {
+        "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+        "gclid", "fbclid", "ref", "ref_src",
+    }
+)
 
 # Second-level domains treated as part of the TLD (utils.py:2510-2524).
 _SECOND_LEVEL = {
@@ -39,11 +55,105 @@ _SECOND_LEVEL = {
 _SPECIAL_SCHEMES = ("mailto:", "tel:", "ftp:", "file:", "data:", "javascript:")
 
 
-def normalize_url_for_deep_crawl(href: str | None, base_url: str | None) -> str | None:
+def _preserve_https(full_url: str, href: str, base_url: str | None) -> str:
+    """Same-domain http→https upgrade (utils.py:2256-2263 / 2330-2337):
+    applied only when the resolved URL is http, shares the base's netloc,
+    and the href is not protocol-relative."""
+    p_full = urlparse(full_url)
+    p_base = urlparse(base_url or "")
+    if (
+        p_full.scheme == "http"
+        and p_full.netloc == p_base.netloc
+        and not href.strip().startswith("//")
+    ):
+        return full_url.replace("http://", "https://", 1)
+    return full_url
+
+
+def normalize_url(
+    href: str | None,
+    base_url: str | None,
+    *,
+    drop_query_tracking: bool = True,
+    sort_query: bool = True,
+    keep_fragment: bool = False,
+    extra_drop_params=None,
+    preserve_https: bool = False,
+    original_scheme: str | None = None,
+) -> str | None:
+    """Full URL normalizer — N1, the variant the seeder / link_preview
+    call (utils.py:2216-2314 semantics):
+
+    urljoin(base, href.strip()) → optional same-domain https
+    preservation → lowercase netloc → drop the LARGE tracking set
+    {utm_*, gclid, fbclid, ref, ref_src} (+ extra_drop_params),
+    case-insensitively, via parse_qsl(keep_blank_values=True) —
+    blank values and repeated keys survive, unlike the deep-crawl
+    variant's parse_qs → optionally sort query keys (stable) →
+    optionally keep fragment.  Path is kept verbatim (NO '/' default —
+    that's the deep-crawl variant's quirk, not this one's).
+    """
+    if not href:
+        return None
+    full_url = urljoin(base_url or "", href.strip())
+    if preserve_https and original_scheme == "https":
+        full_url = _preserve_https(full_url, href, base_url)
+    parsed = urlparse(full_url)
+    netloc = parsed.netloc.lower()
+    query = parsed.query
+    if query:
+        params = parse_qsl(query, keep_blank_values=True)
+        if drop_query_tracking:
+            drop = set(FULL_TRACKING_PARAMS)
+            if extra_drop_params:
+                drop |= {p.lower() for p in extra_drop_params}
+            params = [(k, v) for k, v in params if k.lower() not in drop]
+        if sort_query:
+            params.sort(key=lambda kv: kv[0])
+        query = urlencode(params, doseq=True) if params else ""
+    fragment = parsed.fragment if keep_fragment else ""
+    return urlunparse(
+        (parsed.scheme, netloc, parsed.path, parsed.params, query, fragment)
+    )
+
+
+def efficient_normalize_url_for_deep_crawl(
+    href: str | None,
+    base_url: str | None,
+    preserve_https: bool = False,
+    original_scheme: str | None = None,
+) -> str | None:
+    """Light normalizer — N3 (utils.py:2375-2412 semantics): urljoin,
+    lowercase netloc, drop fragment, path or '/'; query kept UNTOUCHED
+    (tracking params survive).  The reference lru_caches this; past the
+    engine's seen anti-join each URL is normalized once, so no
+    memoization is needed here."""
+    if not href:
+        return None
+    full_url = urljoin(base_url or "", href.strip())
+    if preserve_https and original_scheme == "https":
+        full_url = _preserve_https(full_url, href, base_url)
+    parsed = urlparse(full_url)
+    return urlunparse(
+        (
+            parsed.scheme, parsed.netloc.lower(), parsed.path or "/",
+            parsed.params, parsed.query, "",
+        )
+    )
+
+
+def normalize_url_for_deep_crawl(
+    href: str | None,
+    base_url: str | None,
+    preserve_https: bool = False,
+    original_scheme: str | None = None,
+) -> str | None:
     """Scalar normalizer with the exact semantics of utils.py:2317-2373."""
     if not href:
         return None
     full_url = urljoin(base_url or "", href.strip())
+    if preserve_https and original_scheme == "https":
+        full_url = _preserve_https(full_url, href, base_url)
     parsed = urlparse(full_url)
     netloc = parsed.netloc.lower()
     query = parsed.query
@@ -99,6 +209,33 @@ def is_external_url(url: str, base_domain: str) -> bool:
 def normalize_udf(href: pd.Series, base_url: pd.Series) -> pd.Series:
     return pd.Series(
         [normalize_url_for_deep_crawl(h, b) for h, b in zip(href, base_url)],
+        dtype=object,
+    )
+
+
+def normalize_full_udf(**opts):
+    """Factory: Arrow-vectorized N1 ``normalize_url`` with the given
+    keyword options baked in (options are plain Python values, captured
+    in the closure — they never become columns)."""
+
+    @F.pandas_udf(T.StringType())
+    def _udf(href: pd.Series, base_url: pd.Series) -> pd.Series:
+        return pd.Series(
+            [normalize_url(h, b, **opts) for h, b in zip(href, base_url)],
+            dtype=object,
+        )
+
+    return _udf
+
+
+@F.pandas_udf(T.StringType())
+def normalize_efficient_udf(href: pd.Series, base_url: pd.Series) -> pd.Series:
+    """Arrow-vectorized N3 ``efficient_normalize_url_for_deep_crawl``."""
+    return pd.Series(
+        [
+            efficient_normalize_url_for_deep_crawl(h, b)
+            for h, b in zip(href, base_url)
+        ],
         dtype=object,
     )
 

@@ -150,7 +150,13 @@ class CrawlEngine:
         self._emit_count = 0
         self._pages_crawled = 0
         self._metrics: list[dict] = []
-        self._pending_rows: list[dict] = []  # final frontier/stack/queue
+        # final frontier/stack/queue — kept as a LAZY (df, order_cols)
+        # pair; collected only inside export_state().  An unconditional
+        # collect here would OOM the driver on a depth-capped run that
+        # stops with a 10^8-row frontier.
+        self._pending_df: DataFrame | None = None
+        self._pending_order: list = []
+        self._pending_kind: str = "pending"
         self._depths: dict[str, int] = {}
 
     # -- public API ---------------------------------------------------------
@@ -334,7 +340,17 @@ class CrawlEngine:
         elif isinstance(seeds, DataFrame):
             # distributed seed source: never collected on the driver
             sdf = seeds
-            if "seq" not in sdf.columns:
+            if "seq" in sdf.columns:
+                # Caller-supplied seq is an ORDER, not a sequence: it is
+                # re-ranked to the dense 1-based form the engine's
+                # emit_seq==seq fast path requires (a sparse/0-based/
+                # duplicated caller seq would silently corrupt emit order
+                # otherwise); url breaks ties deterministically.
+                sdf = with_global_rank(
+                    sdf.select("url", F.col("seq").alias("__user_seq")),
+                    [F.asc("__user_seq"), F.asc("url")], "seq",
+                )
+            else:
                 sdf = with_global_rank(
                     sdf.select("url").dropDuplicates(["url"]),
                     [F.asc("url")], "seq",
@@ -358,30 +374,41 @@ class CrawlEngine:
         )
         self.politeness_state = politeness
         round_no = 0
+        # Materialize the initial frontier once; every later round
+        # inherits a cached next-frontier plus its exact row count from
+        # the discovery pass, so the steady-state loop top is job-free
+        # (the round-1 shape paid 2 driver jobs per round just to learn
+        # a number the rank pass already knew).
+        frontier = self._checkpoint(frontier)
+        n_frontier = frontier.count()
         while round_no < spec.max_rounds:
             if self._pages_crawled >= spec.max_pages:
                 break
-            t = {}
-            t0 = time.time()
-            frontier = self._checkpoint(frontier)
-            n_frontier = frontier.count()
-            t["frontier_ckpt"] = round(time.time() - t0, 3)
             if n_frontier == 0:
                 break
+            t = {}
 
             if politeness is not None:
+                # parity path: deferred rows re-enter the frontier, so the
+                # size must be re-measured and the plan re-truncated
+                t0 = time.time()
+                frontier = self._checkpoint(frontier)
+                n_frontier = frontier.count()
+                t["frontier_ckpt"] = round(time.time() - t0, 3)
+                if n_frontier == 0:
+                    break
                 frontier_now, deferred = politeness.split_budget(frontier)
             else:
                 frontier_now, deferred = frontier, None
 
             t0 = time.time()
-            fetched = self._fetch(frontier_now).persist()
+            fetched = self._fetch(frontier_now)
             if politeness is None:
                 # Without a politeness split the frontier's seq is dense
                 # [emit_count, emit_count + n): each round's next-frontier
                 # ranks start exactly at the updated emit counter and every
                 # frontier row is fetched+emitted.  emit_seq == seq, so the
-                # global rank (range shuffle + offset collect) is skipped.
+                # global rank is skipped entirely.
                 emitted = self._checkpoint(
                     fetched.withColumn("emit_seq", F.col("seq"))
                     .withColumn("round", F.lit(round_no))
@@ -394,15 +421,11 @@ class CrawlEngine:
                 emitted = self._emit(
                     fetched, round_no, [F.col("seq")], n_rows_hint=n_frontier
                 )
-            fetched.unpersist()
-            t["fetch_emit"] = round(time.time() - t0, 3)
-
-            t0 = time.time()
             stats = emitted.agg(
                 F.count("*").alias("n"),
                 F.sum(F.col("success").cast("long")).alias("ok"),
             ).collect()[0]
-            t["stats"] = round(time.time() - t0, 3)
+            t["fetch_emit_stats"] = round(time.time() - t0, 3)
             n_success = int(stats["ok"] or 0)
             prior_crawled = self._pages_crawled
             self._pages_crawled += n_success
@@ -456,13 +479,16 @@ class CrawlEngine:
                 .filter(F.col("first_rk") == 1)
                 .drop("first_rk")
             )
-            deduped = self._checkpoint(deduped)
-            t["discover"] = round(time.time() - t0, 3)
-            # ALL deduped (pre-trim) join the seen set — trimmed-off URLs
-            # are never crawled later (reference quirk, bfs_strategy.py:186-196)
-            t0 = time.time()
-            seen.add(deduped.select(F.col("norm_url").alias("url")))
-            t["seen_add"] = round(time.time() - t0, 3)
+            if spec.max_pages != math.inf:
+                # parity path: the seen set takes ALL deduped (pre-trim)
+                # rows — trimmed-off URLs are never crawled later
+                # (reference quirk, bfs_strategy.py:186-196) — so pre-trim
+                # rows must be materialized separately
+                deduped = self._checkpoint(deduped)
+                seen.add(deduped.select(F.col("norm_url").alias("url")))
+            # else: no trim filter ⇒ post-shuffle rows ≡ deduped rows;
+            # the seen part is taken from the bucket-shuffle checkpoint
+            # below (zero recompute, one materialization per round)
 
             # capacity trim per parent: remaining = max_pages - crawled@parent
             if spec.max_pages != math.inf:
@@ -473,17 +499,17 @@ class CrawlEngine:
                 )
             else:
                 capacity = F.lit(None).cast("long")
-            order_cols = (
-                [F.desc("score"), F.asc("link_idx")]
-                if spec.scorer
-                else [F.asc("link_idx")]
-            )
-            w_parent = Window.partitionBy("emit_seq").orderBy(*order_cols)
-            w_count = Window.partitionBy("emit_seq")
-            trimmed = deduped.withColumn(
-                "trim_rn", F.row_number().over(w_parent)
-            ).withColumn("n_valid", F.count("*").over(w_count))
             if spec.max_pages != math.inf:
+                order_cols = (
+                    [F.desc("score"), F.asc("link_idx")]
+                    if spec.scorer
+                    else [F.asc("link_idx")]
+                )
+                w_parent = Window.partitionBy("emit_seq").orderBy(*order_cols)
+                w_count = Window.partitionBy("emit_seq")
+                trimmed = deduped.withColumn(
+                    "trim_rn", F.row_number().over(w_parent)
+                ).withColumn("n_valid", F.count("*").over(w_count))
                 trimmed = trimmed.withColumn("capacity", capacity).filter(
                     F.col("trim_rn") <= F.col("capacity")
                 )
@@ -494,34 +520,88 @@ class CrawlEngine:
                 child_ord = F.when(
                     F.col("n_valid") > F.col("capacity"), F.col("trim_rn")
                 ).otherwise(F.col("link_idx"))
+                trimmed = trimmed.withColumn("child_ord", child_ord)
             else:
-                child_ord = F.col("link_idx")
-            trimmed = trimmed.withColumn("child_ord", child_ord)
+                # no capacity ⇒ no trim: skip the per-parent windows (and
+                # their emit_seq shuffle) entirely — children keep
+                # discovery order
+                trimmed = deduped.withColumn("child_ord", F.col("link_idx"))
 
-            ranked_next = with_global_rank(
-                trimmed, ["emit_seq", "child_ord"], "__next_rn",
-                n_rows_hint=int(stats["n"]) * 4,
+            # Global rank over (emit_seq, child_ord) WITHOUT range
+            # sampling: parent emit_seq is dense in [emit_base,
+            # emit_base+n), so bucket = floor((emit_seq-base)·P/n) is a
+            # monotone key-aligned partitioner computed JVM-side.  One
+            # hash shuffle on the bucket + per-bucket counts gives both
+            # the exact global rank (same order as a single-partition
+            # window) AND the next frontier's row count — no sampling
+            # pass, no re-checkpoint + count job at the next loop top.
+            n_emit = int(stats["n"])
+            emit_base = self._emit_count
+            n_parts = self.spark.sparkContext.defaultParallelism
+            # more buckets than partitions: hash(small int) % P collides
+            # (≈1/e of partitions would sit empty with P buckets); ~8
+            # buckets per partition evens the load without sampling
+            n_buckets = min(max(n_emit, 1), 8 * n_parts)
+            bucket = F.floor(
+                ((F.col("emit_seq") - F.lit(emit_base)) * F.lit(n_buckets))
+                / F.lit(max(n_emit, 1))
+            ).cast("int")
+            # Eager checkpoint (NOT persist): the discovery pipeline runs
+            # exactly once here, lineage is truncated (next round's plans
+            # and the seen chain read raw row blocks), and no
+            # cache-manager plan matching is involved.
+            shuffled = self._checkpoint(
+                trimmed.withColumn("__b", bucket).repartition(n_parts, "__b")
             )
-            next_frontier = ranked_next.select(
+            if spec.max_pages == math.inf:
+                seen.add(shuffled.select(F.col("norm_url").alias("url")))
+            bcounts = {
+                r["__b"]: r["cnt"]
+                for r in shuffled.groupBy("__b")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+            t["discover"] = round(time.time() - t0, 3)
+            n_next = sum(bcounts.values())
+            offsets, acc = {}, 0
+            for b in sorted(bcounts):
+                offsets[b] = acc
+                acc += bcounts[b]
+            if offsets:
+                offset_map = F.create_map(
+                    *[F.lit(x) for b, off in offsets.items() for x in (b, off)]
+                )
+                offset_col = F.coalesce(offset_map[F.col("__b")], F.lit(0))
+            else:
+                offset_col = F.lit(0)
+            w_next = Window.partitionBy("__b").orderBy("emit_seq", "child_ord")
+            next_frontier = shuffled.withColumn(
+                "__next_rn", F.row_number().over(w_next) + offset_col
+            ).select(
                 F.col("norm_url").alias("url"),
                 F.col("src_url").alias("parent_url"),
                 F.col("next_depth").alias("depth"),
                 F.col("score"),
-                (F.col("__next_rn") + F.lit(self._emit_count + int(stats["n"])) - 1)
+                (F.col("__next_rn") + F.lit(self._emit_count + n_emit) - 1)
                 .alias("seq"),
             )
-            self._emit_count += int(stats["n"])
+            self._emit_count += n_emit
             if deferred is not None:
                 next_frontier = deferred.unionByName(next_frontier)
+                # deferred rows make the true size unknown here; the
+                # politeness branch at the loop top re-counts.  -1 keeps
+                # the fast-path break from firing on an unknown size.
+                n_frontier = -1
+            else:
+                n_frontier = n_next
             frontier = next_frontier
             round_no += 1
             if spec.checkpoint_dir:
                 self._snapshot_round(round_no, frontier=frontier)
 
-        self._pending_rows = [
-            {"url": r["url"], "parent_url": r["parent_url"], "depth": r["depth"]}
-            for r in frontier.orderBy("seq").collect()
-        ]
+        self._pending_df = frontier
+        self._pending_order = [F.asc("seq")]
+        self._pending_kind = "pending"
 
     def _snapshot_round(self, round_no: int, **dfs: DataFrame) -> None:
         from crawl4ai_spark.plans.checkpoint import snapshot_round
@@ -535,14 +615,34 @@ class CrawlEngine:
             **dfs,
         )
 
+    def _pending(self) -> list[dict]:
+        """Collect the final frontier/stack/queue — lazily, only when
+        state export actually needs it (a depth-capped run can stop with
+        a frontier far too large for the driver; the run path itself
+        never collects it)."""
+        if self._pending_df is None:
+            return []
+        rows = self._pending_df.orderBy(*self._pending_order).collect()
+        if self._pending_kind == "queue":
+            return [
+                {"score": r["neg_score"], "depth": r["depth"], "url": r["url"],
+                 "parent_url": r["parent_url"]}
+                for r in rows
+            ]
+        return [
+            {"url": r["url"], "parent_url": r["parent_url"], "depth": r["depth"]}
+            for r in rows
+        ]
+
     def export_state(self) -> dict:
         """Reference-shape resume state (bfs_strategy.py:275-284 etc.)."""
         strategy = self.spec.strategy
         res = self.results().collect()
+        pending_rows = self._pending()
         depths = dict(self._depths)
         for r in res:
             depths[r["url"]] = r["depth"]
-        for it in self._pending_rows:
+        for it in pending_rows:
             depths.setdefault(it["url"], it["depth"])
         visited = self.seen_store.urls()
         state = {
@@ -555,14 +655,14 @@ class CrawlEngine:
         if strategy == "bfs":
             state["pending"] = [
                 {"url": it["url"], "parent_url": it["parent_url"]}
-                for it in self._pending_rows
+                for it in pending_rows
             ]
         elif strategy == "dfs":
             state["visited"] = sorted(self.visited_set)
             state["dfs_seen"] = visited
-            state["stack"] = self._pending_rows  # bottom → top
+            state["stack"] = pending_rows  # bottom → top
         else:
-            state["queue_items"] = self._pending_rows
+            state["queue_items"] = pending_rows
         return state
 
     # -- Best-first -----------------------------------------------------------
@@ -755,14 +855,12 @@ class CrawlEngine:
             rounds_since_ckpt += 1
 
 
-        self._pending_rows = [
-            {"score": r["neg_score"], "depth": r["depth"], "url": r["url"],
-             "parent_url": r["parent_url"]}
-            for r in queue.orderBy(
-                F.asc("neg_score"), F.asc("depth"), F.asc("url"),
-                F.asc_nulls_first("parent_url")
-            ).collect()
+        self._pending_df = queue
+        self._pending_order = [
+            F.asc("neg_score"), F.asc("depth"), F.asc("url"),
+            F.asc_nulls_first("parent_url"),
         ]
+        self._pending_kind = "queue"
 
     # -- DFS (strict parity mode: one URL per round) ---------------------------
 
@@ -893,7 +991,6 @@ class CrawlEngine:
             if spec.checkpoint_dir:
                 self._snapshot_round(round_no, stack=stack)
 
-        self._pending_rows = [
-            {"url": r["url"], "parent_url": r["parent_url"], "depth": r["depth"]}
-            for r in stack.orderBy("pos").collect()
-        ]
+        self._pending_df = stack
+        self._pending_order = [F.asc("pos")]
+        self._pending_kind = "stack"

@@ -44,11 +44,17 @@ def with_global_rank(
 
     spark = df.sparkSession
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    # repartitionByRange runs a SAMPLING pass before the shuffle; without
+    # a cache that pass re-executes the whole upstream plan (which may
+    # cross the Arrow-UDF bridge) a second time.  Persist for the
+    # duration of the two passes, then release.
+    src = df.persist()
     ranged = (
-        df.repartitionByRange(n_partitions, *order_cols)
+        src.repartitionByRange(n_partitions, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)  # pin partition ids
     )
+    src.unpersist()
     counts = {
         r["__pid"]: r["cnt"]
         for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
@@ -89,12 +95,14 @@ def with_global_cumsum(
 
     spark = df.sparkSession
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    src = df.persist()  # see with_global_rank: avoid the sampling double-compute
     ranged = (
-        df.repartitionByRange(n_partitions, *order_cols)
+        src.repartitionByRange(n_partitions, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__v", value)
         .localCheckpoint(eager=True)
     )
+    src.unpersist()
     sums = {
         r["__pid"]: r["s"] or 0
         for r in ranged.groupBy("__pid").agg(F.sum("__v").alias("s")).collect()

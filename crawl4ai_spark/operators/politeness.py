@@ -114,8 +114,11 @@ class PolitenessState:
         spec = self.spec
         dom = domain_of(F.col("url")).alias("domain")
         fr = frontier.withColumn("domain", dom)
-        st = F.broadcast(self._state)
-        joined = fr.join(st, "domain", "left")
+        # No broadcast hint: a real web crawl has 10^7-10^8 domains, so
+        # the optimizer must stay free to pick a shuffle join keyed on
+        # domain (the same key the budget window partitions by); small
+        # fixture states still broadcast via the size-based threshold.
+        joined = fr.join(self._state, "domain", "left")
 
         @F.pandas_udf(T.DoubleType())
         def init_delay(domain: pd.Series) -> pd.Series:
@@ -176,7 +179,7 @@ class PolitenessState:
         with_dom = outcomes.withColumn("domain", domain_of(F.col("url")))
         prev = self._state.withColumnRenamed("current_delay", "prev_delay")
 
-        merged = with_dom.join(F.broadcast(prev), "domain", "left")
+        merged = with_dom.join(prev, "domain", "left")
 
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("emit_seq") if "emit_seq" in pdf else pdf

@@ -5,9 +5,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from crawl4ai_spark.functions.normalize import (
+    efficient_normalize_url_for_deep_crawl,
     get_base_domain,
     is_external_url,
     normalize_udf,
+    normalize_url,
     normalize_url_for_deep_crawl,
 )
 
@@ -55,6 +57,96 @@ def test_scalar_normalize(href, base, expected):
 def test_none_and_empty():
     assert normalize_url_for_deep_crawl(None, BASE) is None
     assert normalize_url_for_deep_crawl("", BASE) is None
+
+
+# -- N1 full normalizer (utils.py:2216-2314) --------------------------------
+
+FULL_CASES = [
+    # larger tracking set: utm_term/utm_content/gclid/ref_src dropped too
+    ("https://e.com/p?utm_term=k&id=3", BASE, "https://e.com/p?id=3"),
+    ("https://e.com/p?gclid=9&ref_src=tw&utm_content=c", BASE, "https://e.com/p"),
+    # sorted query (deterministic output)
+    ("https://e.com/p?z=2&a=1&m=5", BASE, "https://e.com/p?a=1&m=5&z=2"),
+    # blank values survive (parse_qsl keep_blank_values=True)
+    ("https://e.com/p?b=&a=1", BASE, "https://e.com/p?a=1&b="),
+    # repeated keys survive as pairs, in sorted-stable order
+    ("https://e.com/p?a=2&a=1", BASE, "https://e.com/p?a=2&a=1"),
+    # case-insensitive tracking match
+    ("https://e.com/p?UTM_Source=x&id=1", BASE, "https://e.com/p?id=1"),
+    # empty path stays empty (NO '/' default — deep-crawl quirk only)
+    ("https://e.com", BASE, "https://e.com"),
+    # fragment dropped by default
+    ("https://e.com/p#sec", BASE, "https://e.com/p"),
+    ("/about", BASE, "https://example.com/about"),
+]
+
+
+@pytest.mark.parametrize("href,base,expected", FULL_CASES)
+def test_normalize_url_full(href, base, expected):
+    assert normalize_url(href, base) == expected
+
+
+def test_normalize_url_full_options():
+    assert normalize_url(None, BASE) is None
+    assert normalize_url("", BASE) is None
+    assert (
+        normalize_url("https://e.com/p#sec", BASE, keep_fragment=True)
+        == "https://e.com/p#sec"
+    )
+    assert (
+        normalize_url("https://e.com/p?z=1&a=2", BASE, sort_query=False)
+        == "https://e.com/p?z=1&a=2"
+    )
+    assert (
+        normalize_url("https://e.com/p?utm_source=x", BASE, drop_query_tracking=False)
+        == "https://e.com/p?utm_source=x"
+    )
+    assert (
+        normalize_url("https://e.com/p?custom=1&id=2", BASE,
+                      extra_drop_params=["CUSTOM"])
+        == "https://e.com/p?id=2"
+    )
+    # same-domain https preservation; protocol-relative follows base scheme
+    assert (
+        normalize_url("http://example.com/x", "https://example.com/",
+                      preserve_https=True, original_scheme="https")
+        == "https://example.com/x"
+    )
+    assert (
+        normalize_url("//example.com/x", "https://example.com/",
+                      preserve_https=True, original_scheme="https")
+        == "https://example.com/x"  # urljoin applies base scheme; no rewrite
+    )
+    assert (
+        normalize_url("http://other.com/x", "https://example.com/",
+                      preserve_https=True, original_scheme="https")
+        == "http://other.com/x"  # cross-domain: NOT upgraded
+    )
+
+
+# -- N3 efficient variant (utils.py:2375-2412) ------------------------------
+
+def test_efficient_normalize():
+    base = "http://example.com/deep/hub"
+    # reference regression cases (test_reg_deep_crawl.py:429-443)
+    assert (
+        efficient_normalize_url_for_deep_crawl("/deep/sub1", base)
+        == "http://example.com/deep/sub1"
+    )
+    assert "#" not in efficient_normalize_url_for_deep_crawl("/page#anchor", base)
+    # query untouched — tracking params SURVIVE in the efficient variant
+    assert (
+        efficient_normalize_url_for_deep_crawl(
+            "https://e.com/p?utm_source=x&b=2#f", base
+        )
+        == "https://e.com/p?utm_source=x&b=2"
+    )
+    assert (
+        efficient_normalize_url_for_deep_crawl("https://E.com", base)
+        == "https://e.com/"  # path or '/' quirk shared with N2
+    )
+    assert efficient_normalize_url_for_deep_crawl(None, base) is None
+    assert efficient_normalize_url_for_deep_crawl("", base) is None
 
 
 def test_normalize_udf_matches_scalar(spark):

@@ -81,9 +81,9 @@ def main():
         "demand ~64 cores and measure contention, not scaling.  On a\n"
         "real cluster each executor has its own host, so executor\n"
         "count N vs 4N maps to exactly this comparison.\n\n"
-        f"| level | cores | URLs/sec | suite wall s |\n|---|---|---|---|\n"
-        f"| N | {n} | {t_lo} | {lo['value']} |\n"
-        f"| 4N | {4*n} | {t_hi} | {hi['value']} |\n\n"
+        f"| level | cores | URLs/sec | crawl wall s |\n|---|---|---|---|\n"
+        f"| N | {n} | {t_lo} | {lo.get('wall_s', '?')} |\n"
+        f"| 4N | {4*n} | {t_hi} | {hi.get('wall_s', '?')} |\n\n"
         f"**Scaling efficiency = (T_4N / T_N) / 4 = {eff}**\n\n"
         f"Raw: `{json.dumps({k: v for k, v in result.items() if k not in ('bench_n','bench_4n')})}`\n"
     )
