@@ -555,6 +555,31 @@ def q_ann_lsh_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_knn_join(spark, sf_dir):
+    """Batch exact k-NN join: each query row gets its cosine top-k from
+    the corpus (broadcast queries × corpus scan → per-query window)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.brute_force_knn_join(queries, emb, k=5).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
+
+
+def q_ann_knn_join(spark, sf_dir):
+    """Approximate batch k-NN via hyperplane-bucket equi-join
+    (rows-only: recall is probabilistic by design)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()["embedding"])
+    return SIM.lsh_knn_join(queries, emb, dim=dim, k=5).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
+
+
 def q_politeness_backoff(spark, sf_dir):
     """P2 adaptive backoff fold over one round of outcomes (rows-only:
     the sequential seeded fold is not SQL-expressible)."""
@@ -1067,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
+        "knn_join": q_knn_join,
+        "ann_knn_join": q_ann_knn_join,
         "ann_lsh_topk": q_ann_lsh_topk,
         "image_validation": q_image_validation,
         "image_score": q_image_score,
@@ -1624,6 +1651,26 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cos_sim DESC, vec_id ASC
             LIMIT 10
+        """,
+        "knn_join": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 3
+            ),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+              FROM embeddings e CROSS JOIN q
+            ),
+            r AS (
+              SELECT query_id, vec_id, cos_sim,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+              FROM s
+            )
+            SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 5
         """,
         # A5: independent DuckDB execution of the adaptive-confidence
         # formulas (coverage / consistency / saturation / 0.4-0.3-0.3)

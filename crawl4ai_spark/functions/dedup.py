@@ -20,7 +20,7 @@ candidate pairs only.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -84,17 +84,11 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_pairs(
-    signatures: DataFrame,
-    key_col: str = "doc_id",
-    bands: int = 4,
-    rows_per_band: int = 4,
+def _band_buckets(
+    signatures: DataFrame, key_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
-
-    Each doc emits `bands` (band_id, bucket_hash) rows; the self-join
-    shuffles on the bucket key only."""
-    buckets = signatures.select(
+    """(key, band, bucket) rows: md5 over each band's signature slice."""
+    return signatures.select(
         key_col,
         F.explode(
             F.array(
@@ -116,6 +110,41 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(key_col, "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    key_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    Each doc emits `bands` (band_id, bucket_hash) rows; the self-join
+    shuffles on the bucket key only, and the quadratic work happens
+    only INSIDE buckets — which is safe only if bucket sizes are
+    actually bounded.  A degenerate bucket (empty docs, boilerplate —
+    every member pairs with every other) goes quadratic at 100 TB, so
+    buckets larger than ``max_bucket_size`` are DROPPED before the
+    join: members of such a bucket are near-identical boilerplate
+    whose pairs would add ~size²/2 rows of no dedup value (they are
+    still found through their other, smaller bands, or belong in an
+    exact-dedup pass).  Dropped mass is observable via
+    ``lsh_bucket_stats`` rather than silently discarded.
+
+    ``max_bucket_size=None`` disables the cap (small-corpus parity
+    runs).
+    """
+    buckets = _band_buckets(signatures, key_col, bands, rows_per_band)
+    if max_bucket_size is not None:
+        # count per (band, bucket) — same shuffle key as the self-join,
+        # map-side partial agg; oversized buckets are filtered out of
+        # BOTH join sides
+        w = Window.partitionBy("band", "bucket")
+        buckets = buckets.withColumn(
+            "__bsz", F.count("*").over(w)
+        ).filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -132,6 +161,31 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return pairs
+
+
+def lsh_bucket_stats(
+    signatures: DataFrame,
+    key_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Observability for the bucket cap: per band, how many buckets /
+    member rows exceed ``max_bucket_size`` (the mass the capped join
+    drops).  Run it alongside ``minhash_lsh_pairs`` when auditing a
+    corpus; one groupBy on the same key as the join shuffle."""
+    sized = _band_buckets(signatures, key_col, bands, rows_per_band)
+    per_bucket = sized.groupBy("band", "bucket").agg(F.count("*").alias("sz"))
+    return per_bucket.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") > max_bucket_size, 1).otherwise(0)).alias(
+            "buckets_over_cap"
+        ),
+        F.sum(F.when(F.col("sz") > max_bucket_size, F.col("sz")).otherwise(0)).alias(
+            "rows_dropped"
+        ),
+    )
 
 
 def jaccard_pairs(

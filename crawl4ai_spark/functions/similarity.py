@@ -76,6 +76,106 @@ def rh_signature(vec: Column, dim: int, planes: int = 8, seed: int = 42) -> Colu
     return sig
 
 
+def brute_force_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    query_key_col: str = "query_id",
+) -> DataFrame:
+    """Exact batch k-NN: every query row gets its cosine top-k from the
+    corpus.  Returns (query_id, vec_id, cos_sim, rank).
+
+    Plan shape: broadcast the (small) query table against the corpus
+    scan — scoring is JVM Column math on each corpus partition, no
+    corpus shuffle; only the scored (query_id, key, sim) triplets
+    shuffle into the per-query top-k window.  This is the exactness
+    baseline — ``lsh_knn_join`` is the scale path that replaces the
+    full cross product with a bucket equi-join."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_key_col),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        query_key_col,
+        key_col,
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), F.col("__qvec")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("cos_sim"), F.asc(key_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    query_key_col: str = "query_id",
+    planes: int = 8,
+    probe_bits: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate batch k-NN: signatures on BOTH sides with the same
+    deterministic hyperplanes, bucket equi-join instead of a cross
+    product, per-query top-k over candidates only.
+
+    Multi-probe: each query also probes buckets within ``probe_bits``
+    bit-flips of its own signature (probe_bits=1 ⇒ planes+1 buckets),
+    trading join fan-out for recall.
+
+    Scale shape: corpus signatures are computed once (store them next
+    to the vectors at 100 TB); the join shuffles on the 64-bit bucket
+    key; candidate sets per query are bucket-sized, not corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    sig_corpus = corpus.withColumn(
+        "__bucket", rh_signature(F.col(vec_col).cast("array<double>"), dim, planes, seed)
+    )
+    probes = [F.col("__qsig")]
+    if probe_bits >= 1:
+        probes += [
+            F.col("__qsig").bitwiseXOR(F.lit(2**p).cast("long"))
+            for p in range(planes)
+        ]
+    q = (
+        queries.select(
+            F.col(query_key_col),
+            F.col(vec_col).cast("array<double>").alias("__qvec"),
+        )
+        .withColumn("__qsig", rh_signature(F.col("__qvec"), dim, planes, seed))
+        .withColumn("__probe", F.explode(F.array(*probes)))
+    )
+    cand = sig_corpus.join(
+        F.broadcast(q), F.col("__bucket") == F.col("__probe")
+    ).select(
+        query_key_col,
+        key_col,
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), F.col("__qvec")), 6
+        ).alias("cos_sim"),
+    ).dropDuplicates([query_key_col, key_col])
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("cos_sim"), F.asc(key_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_bucket_topk(
     vectors: DataFrame,
     query: list[float],

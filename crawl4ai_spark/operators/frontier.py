@@ -116,6 +116,11 @@ class CrawlSpec:
     # >5000 parents), True/False = force.  True is used by warm-up
     # crawls so they compile the exact plan shape of large rounds.
     repartition_discovery: bool | None = None
+    # cooperative cancellation callback (reference bfs_strategy.py:
+    # 84-131): checked between rounds (per level for BFS/BFF, per URL
+    # for strict DFS); a truthy return stops the crawl.  Exceptions
+    # fail OPEN (crawl continues), mirroring the reference.
+    should_cancel: object = None
 
 
 class CrawlEngine:
@@ -158,6 +163,33 @@ class CrawlEngine:
         self._pending_order: list = []
         self._pending_kind: str = "pending"
         self._depths: dict[str, int] = {}
+        self._cancelled = False
+
+    # -- cancellation (bfs_strategy.py:84-131 semantics) --------------------
+
+    def cancel(self) -> None:
+        """Stop before the next round; the in-flight round completes
+        (the reference lets the current URL complete)."""
+        self._cancelled = True
+
+    @property
+    def cancelled(self) -> bool:
+        return self._cancelled
+
+    def _check_cancellation(self) -> bool:
+        """Internal flag OR the user callback; callback errors fail
+        OPEN (crawl continues — bfs_strategy.py:120-129)."""
+        if self._cancelled:
+            return True
+        cb = self.spec.should_cancel
+        if cb is not None:
+            try:
+                if cb():
+                    self._cancelled = True
+                    return True
+            except Exception:
+                pass
+        return False
 
     # -- public API ---------------------------------------------------------
 
@@ -374,6 +406,15 @@ class CrawlEngine:
         )
         self.politeness_state = politeness
         round_no = 0
+        # Minimum depth in the round-0 frontier (driver-known): fresh
+        # seeds start at 0; resumed pending rows carry their own depths.
+        if rs:
+            base_min_depth = min(
+                (int(depths.get(it["url"], 0)) for it in rs.get("pending", [])),
+                default=0,
+            )
+        else:
+            base_min_depth = 0
         # Materialize the initial frontier once; every later round
         # inherits a cached next-frontier plus its exact row count from
         # the discovery pass, so the steady-state loop top is job-free
@@ -381,7 +422,7 @@ class CrawlEngine:
         # a number the rank pass already knew).
         frontier = self._checkpoint(frontier)
         n_frontier = frontier.count()
-        while round_no < spec.max_rounds:
+        while round_no < spec.max_rounds and not self._check_cancellation():
             if self._pages_crawled >= spec.max_pages:
                 break
             if n_frontier == 0:
@@ -447,6 +488,22 @@ class CrawlEngine:
                 )
 
             # ---- discovery over this round's successful parents ----
+            # Arithmetic last-round skip: in a pure BFS (no politeness
+            # deferrals) round r's parents all sit at depth
+            # base_min_depth + r, so when that reaches max_depth every
+            # child would fail the next_depth guard — the reference
+            # returns from link_discovery before touching visited
+            # (bfs_strategy.py:141-152), and the engine can skip the
+            # whole discovery job (its fixed stage/scheduling floor is
+            # pure waste on a provably-empty result).
+            if politeness is None and base_min_depth + round_no >= spec.max_depth:
+                self._emit_count += int(stats["n"])
+                frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
+                n_frontier = 0
+                round_no += 1
+                if spec.checkpoint_dir:
+                    self._snapshot_round(round_no, frontier=frontier)
+                continue
             parents = emitted.filter(F.col("success"))
             if spec.max_pages != math.inf:
                 # cumulative successes in emit order = _pages_crawled at
@@ -650,7 +707,7 @@ class CrawlEngine:
             "visited": visited,
             "depths": depths,
             "pages_crawled": self._pages_crawled,
-            "cancelled": False,
+            "cancelled": self._cancelled,
         }
         if strategy == "bfs":
             state["pending"] = [
@@ -722,7 +779,7 @@ class CrawlEngine:
             F.asc_nulls_first("parent_url"),
         ]
         rounds_since_ckpt = 0
-        while round_no < spec.max_rounds:
+        while round_no < spec.max_rounds and not self._check_cancellation():
             if self._pages_crawled >= spec.max_pages:
                 break
             # Bound the queue's lazy plan: every popped/new_items part is
@@ -902,7 +959,7 @@ class CrawlEngine:
             pos_counter = len(seeds) + 1
             self._depths.update({s: 0 for s in seeds})
         round_no = 0
-        while round_no < spec.max_rounds:
+        while round_no < spec.max_rounds and not self._check_cancellation():
             stack = self._checkpoint(stack)
             top = stack.orderBy(F.desc("pos")).limit(1).collect()
             if not top:
