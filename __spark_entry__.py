@@ -580,6 +580,29 @@ def q_ann_knn_join(spark, sf_dir):
     )
 
 
+def q_embedding_coverage(spark, sf_dir):
+    """Adaptive EmbeddingStrategy coverage: per query variation, min
+    cosine distance to the KB + the exp-decay hybrid confidence
+    (adaptive_crawler.py:841-869, :1040-1100)."""
+    from crawl4ai_spark.functions.adaptive_embedding import (
+        coverage_gaps,
+        embedding_confidence,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 100)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kb = emb.filter(F.col("vec_id") % 5 != 0)
+    gaps = coverage_gaps(queries, kb)
+    conf = embedding_confidence(gaps)
+    return gaps.join(conf, "query_id").select(
+        "query_id",
+        F.round("gap", 6).alias("gap"),
+        F.round("query_score", 6).alias("confidence"),
+    )
+
+
 def q_politeness_backoff(spark, sf_dir):
     """P2 adaptive backoff fold over one round of outcomes (rows-only:
     the sequential seeded fold is not SQL-expressible)."""
@@ -1094,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "knn_join": q_knn_join,
         "ann_knn_join": q_ann_knn_join,
+        "embedding_coverage": q_embedding_coverage,
         "ann_lsh_topk": q_ann_lsh_topk,
         "image_validation": q_image_validation,
         "image_score": q_image_score,
@@ -1671,6 +1695,35 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 5
+        """,
+        "embedding_coverage": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 100
+            ),
+            kb AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS kv
+              FROM embeddings WHERE vec_id % 5 <> 0
+            ),
+            d AS (
+              SELECT q.query_id,
+                     1.0 - list_cosine_similarity(kb.kv, q.qv) AS dist
+              FROM kb CROSS JOIN q
+            ),
+            t AS (
+              SELECT query_id, dist,
+                     row_number() OVER (PARTITION BY query_id ORDER BY dist ASC) AS rn
+              FROM d
+            ),
+            g AS (
+              SELECT query_id, min(dist) AS gap,
+                     sum(exp(-dist)) / count(*) AS topk_avg
+              FROM t WHERE rn <= 3 GROUP BY query_id
+            )
+            SELECT query_id,
+                   round(gap, 6) AS gap,
+                   round(0.7 * exp(-gap) + 0.3 * topk_avg, 6) AS confidence
+            FROM g
         """,
         # A5: independent DuckDB execution of the adaptive-confidence
         # formulas (coverage / consistency / saturation / 0.4-0.3-0.3)

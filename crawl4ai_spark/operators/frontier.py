@@ -71,6 +71,12 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("score", T.DoubleType()),
         T.StructField("success", T.BooleanType()),
         T.StructField("status_code", T.IntegerType()),
+        # P7 schema parity: the reference's anti-bot retry loop
+        # (async_webcrawler.py:399-646) stamps how many attempts a fetch
+        # took; fetch-as-join always succeeds first try, so this is the
+        # constant 0 — kept so result rows are column-compatible with a
+        # live deployment that retries.
+        T.StructField("retry_count", T.IntegerType()),
     ]
 )
 
@@ -290,6 +296,7 @@ class CrawlEngine:
             .select(
                 "emit_seq", "round", "url", "depth", "parent_url",
                 "score", "success", "status_code",
+                F.lit(0).cast("int").alias("retry_count"),
                 # carried for discovery:
                 "links",
             )
@@ -455,7 +462,9 @@ class CrawlEngine:
                     .withColumn("round", F.lit(round_no))
                     .select(
                         "emit_seq", "round", "url", "depth", "parent_url",
-                        "score", "success", "status_code", "links",
+                        "score", "success", "status_code",
+                        F.lit(0).cast("int").alias("retry_count"),
+                        "links",
                     )
                 )
             else:

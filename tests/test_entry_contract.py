@@ -14,6 +14,7 @@ def test_oracle_keys_subset_of_queries():
     assert rows_only <= {
         "bff_crawl", "dfs_crawl", "politeness_backoff", "minhash_lsh_pairs",
         "ann_lsh_topk", "image_validation", "url_relevance",
+        "ann_knn_join",
     }
 
 
