@@ -117,7 +117,7 @@ def minhash_lsh_pairs(
     key_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
 
@@ -133,8 +133,11 @@ def minhash_lsh_pairs(
     exact-dedup pass).  Dropped mass is observable via
     ``lsh_bucket_stats`` rather than silently discarded.
 
-    ``max_bucket_size=None`` disables the cap (small-corpus parity
-    runs).
+    ``max_bucket_size=None`` (the default) keeps exact reference
+    semantics — every bucket joins, recall is the full LSH recall.
+    At scale, PASS A CAP (e.g. 1000) explicitly and audit the dropped
+    mass with ``lsh_bucket_stats``; the cap is opt-in so parity runs
+    can't silently lose pairs.
     """
     buckets = _band_buckets(signatures, key_col, bands, rows_per_band)
     if max_bucket_size is not None:

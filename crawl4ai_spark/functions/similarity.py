@@ -83,6 +83,7 @@ def brute_force_knn_join(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     query_key_col: str = "query_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact batch k-NN: every query row gets its cosine top-k from the
     corpus.  Returns (query_id, vec_id, cos_sim, rank).
@@ -92,14 +93,21 @@ def brute_force_knn_join(
     corpus shuffle; only the scored (query_id, key, sim) triplets
     shuffle into the per-query top-k window.  This is the exactness
     baseline — ``lsh_knn_join`` is the scale path that replaces the
-    full cross product with a bucket equi-join."""
+    full cross product with a bucket equi-join.
+
+    ``broadcast_queries=False`` drops the broadcast hint when the
+    query batch is too large to fit executor memory (the cross product
+    then shuffles both sides — at that size prefer ``lsh_knn_join`` or
+    ``lsh_self_join``)."""
     from pyspark.sql import Window
 
     q = queries.select(
         F.col(query_key_col),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    if broadcast_queries:
+        q = F.broadcast(q)
+    scored = corpus.crossJoin(q).select(
         query_key_col,
         key_col,
         F.round(
@@ -126,30 +134,37 @@ def lsh_knn_join(
     planes: int = 8,
     probe_bits: int = 1,
     seed: int = 42,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate batch k-NN: signatures on BOTH sides with the same
     deterministic hyperplanes, bucket equi-join instead of a cross
     product, per-query top-k over candidates only.
 
     Multi-probe: each query also probes buckets within ``probe_bits``
-    bit-flips of its own signature (probe_bits=1 ⇒ planes+1 buckets),
-    trading join fan-out for recall.
+    bit-flips of its own signature — ALL bit-flip combinations up to
+    that hamming radius (probe_bits=1 ⇒ planes+1 buckets, probe_bits=2
+    adds the C(planes,2) two-flip buckets), trading join fan-out for
+    recall.
 
     Scale shape: corpus signatures are computed once (store them next
     to the vectors at 100 TB); the join shuffles on the 64-bit bucket
     key; candidate sets per query are bucket-sized, not corpus-sized.
+    ``broadcast_queries=False`` for query batches too large for one
+    executor's memory; for corpus-vs-corpus dedup use
+    ``lsh_self_join`` (no broadcast anywhere).
     """
+    from itertools import combinations
+
     from pyspark.sql import Window
 
     sig_corpus = corpus.withColumn(
         "__bucket", rh_signature(F.col(vec_col).cast("array<double>"), dim, planes, seed)
     )
     probes = [F.col("__qsig")]
-    if probe_bits >= 1:
-        probes += [
-            F.col("__qsig").bitwiseXOR(F.lit(2**p).cast("long"))
-            for p in range(planes)
-        ]
+    for r in range(1, probe_bits + 1):
+        for flips in combinations(range(planes), r):
+            mask = sum(2**p for p in flips)
+            probes.append(F.col("__qsig").bitwiseXOR(F.lit(mask).cast("long")))
     q = (
         queries.select(
             F.col(query_key_col),
@@ -158,8 +173,10 @@ def lsh_knn_join(
         .withColumn("__qsig", rh_signature(F.col("__qvec"), dim, planes, seed))
         .withColumn("__probe", F.explode(F.array(*probes)))
     )
+    if broadcast_queries:
+        q = F.broadcast(q)
     cand = sig_corpus.join(
-        F.broadcast(q), F.col("__bucket") == F.col("__probe")
+        q, F.col("__bucket") == F.col("__probe")
     ).select(
         query_key_col,
         key_col,
@@ -174,6 +191,59 @@ def lsh_knn_join(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def lsh_self_join(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    planes: int = 8,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Corpus-vs-corpus near-duplicate pairs — the training-data dedup
+    shape at 100 TB.  Returns (id_a, id_b, cos_sim) with id_a < id_b
+    and cos_sim ≥ ``threshold``.
+
+    No broadcast anywhere: hyperplane signatures are computed on the
+    single corpus scan, the self-join is an equi-join on the 64-bit
+    bucket key (one hash shuffle of (bucket, key, vec) rows), and the
+    quadratic work happens only inside buckets.  ``max_bucket_size``
+    caps degenerate buckets exactly like
+    ``dedup.minhash_lsh_pairs`` — opt-in, audit with a bucket-stats
+    pass before enabling.
+
+    Recall: pairs agreeing on all ``planes`` hyperplanes are found;
+    raise recall by unioning several independent signature seeds
+    (each is another scan + equi-join, still no cross product).
+    """
+    from pyspark.sql import Window
+
+    sig = corpus.select(
+        F.col(key_col),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    ).withColumn("__bucket", rh_signature(F.col("__vec"), dim, planes, seed))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("__bucket")
+        sig = (
+            sig.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__bucket") == F.col("b.__bucket"))
+        & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+    ).select(
+        F.col(f"a.{key_col}").alias("id_a"),
+        F.col(f"b.{key_col}").alias("id_b"),
+        F.round(cosine(F.col("a.__vec"), F.col("b.__vec")), 6).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)
 
 
 def lsh_bucket_topk(

@@ -216,7 +216,10 @@ def map_domain(
     for p in parts[1:]:
         merged = merged.unionByName(p)
     prio = F.array(*[F.lit(s) for s in source_priority])
-    rank_expr = F.coalesce(F.array_position(prio, F.col("source")), F.lit(99))
+    # array_position returns 0 (not NULL) on a miss — an unlisted
+    # source must rank LAST (99), not first
+    pos = F.array_position(prio, F.col("source"))
+    rank_expr = F.when(pos > 0, pos).otherwise(F.lit(99))
     w = Window.partitionBy("url").orderBy(rank_expr.asc(), F.col("source"))
     return (
         merged.withColumn("__rk", F.row_number().over(w))

@@ -90,17 +90,26 @@ def _resolve_loc(base: Column, loc: Column) -> Column:
 
 
 def parse_sitemap(
-    docs: DataFrame, url_col: str = "sitemap_url", xml_col: str = "content"
+    docs: DataFrame,
+    url_col: str = "sitemap_url",
+    xml_col: str = "content",
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """One row per ``<loc>`` entry across a DataFrame of sitemap
-    documents: (sitemap_url, loc, is_index, loc_idx).
+    documents: (sitemap_url, loc, is_index, loc_idx [, *carry]).
 
     ``is_index`` is per-DOCUMENT (reference: any <sitemap> node makes
     the whole document an index and its <url> entries are ignored —
     async_url_seeder.py:1050-1066).
+
+    ``carry`` names extra input columns to pass through unchanged
+    (e.g. the owning domain) — carrying context beats recovering it
+    with a post-hoc join on sitemap_url, which is NOT unique when two
+    domains reference the same sub-sitemap.
     """
     base = F.col(url_col)
     xml = F.col(xml_col)
+    carry = list(carry or [])
     sub = F.regexp_extract_all(xml, F.lit(_SITEMAP_LOC_RE), 1)
     urls = F.regexp_extract_all(xml, F.lit(_URL_LOC_RE), 1)
     is_index = F.size(sub) > 0
@@ -109,12 +118,14 @@ def parse_sitemap(
         base.alias("sitemap_url"),
         is_index.alias("is_index"),
         F.posexplode(entries).alias("loc_idx", "raw_loc"),
+        *carry,
     )
     return exploded.select(
         "sitemap_url",
         "is_index",
         "loc_idx",
         _resolve_loc(F.col("sitemap_url"), F.col("raw_loc")).alias("loc"),
+        *carry,
     ).filter(F.col("loc").isNotNull() & (F.col("loc") != ""))
 
 
@@ -177,14 +188,14 @@ def seed_from_sitemaps(
     page_parts: list[DataFrame] = []
     frontier = roots
     for _ in range(max_levels):
+        # domain rides through the parse (carry=) — recovering it via a
+        # join on sitemap_url would multiply entries when two domains
+        # reference the same sub-sitemap URL
         entries = parse_sitemap(
-            frontier.select("domain", "sitemap_url", "content").withColumn(
-                "__d", F.col("domain")
-            ),
+            frontier.select("domain", "sitemap_url", "content"),
             url_col="sitemap_url",
             xml_col="content",
-        ).join(
-            frontier.select("sitemap_url", "domain"), "sitemap_url"
+            carry=["domain"],
         )
         page_parts.append(
             entries.filter(~F.col("is_index")).select(
@@ -193,7 +204,7 @@ def seed_from_sitemaps(
         )
         sub = entries.filter(F.col("is_index")).select(
             "domain", F.col("loc").alias("sitemap_url")
-        )
+        ).dropDuplicates(["domain", "sitemap_url"])
         # fetch the next level of sitemaps (join is the fetch)
         frontier = sub.join(sitemap_docs, "sitemap_url").select(
             "domain", "sitemap_url", "content"

@@ -23,6 +23,7 @@ snapshot/Iceberg tables the crawl commits to; in tests they run with
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 
@@ -95,14 +96,38 @@ def stream_windowed_events(
     )
 
 
+_STREAM_DIR_CACHE: dict[str, str] = {}
+
+
 def _as_stream_dir(path: str) -> str:
     """File streams only accept directories; wrap a single parquet file
-    in a temp directory via symlink (no data copy)."""
+    in a temp directory via symlink (no data copy).
+
+    The wrapper dir is cached per resolved file path: repeated calls on
+    the same file return the SAME source path (stable for checkpointed
+    stream resume) instead of leaking a new temp dir each time.  Dirs
+    are removed atexit."""
     if not os.path.isfile(path):
         return path
+    key = os.path.abspath(path)
+    d = _STREAM_DIR_CACHE.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
     d = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+    os.symlink(key, os.path.join(d, os.path.basename(path)))
+    _STREAM_DIR_CACHE[key] = d
     return d
+
+
+def _cleanup_stream_dirs() -> None:  # pragma: no cover - atexit hook
+    import shutil
+
+    for d in _STREAM_DIR_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STREAM_DIR_CACHE.clear()
+
+
+atexit.register(_cleanup_stream_dirs)
 
 
 def run_available_now(stream_df: DataFrame, sink_table: str) -> None:

@@ -8,13 +8,14 @@ def test_oracle_keys_subset_of_queries():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 30
-    # rows-only (non-SQL-expressible) queries are expected and documented
+    # the driver grades the first 50 registry entries — stay at 50
+    assert len(q) == 50
+    # rows-only (non-SQL-expressible) queries are expected and documented:
+    # priority-queue recursion (bff/dfs), a seeded sequential fold
+    # (politeness_backoff), and binary image decode (image_validation)
     rows_only = set(q) - set(o)
-    assert rows_only <= {
-        "bff_crawl", "dfs_crawl", "politeness_backoff", "minhash_lsh_pairs",
-        "ann_lsh_topk", "image_validation", "url_relevance",
-        "ann_knn_join",
+    assert rows_only == {
+        "bff_crawl", "dfs_crawl", "politeness_backoff", "image_validation",
     }
 
 
