@@ -225,6 +225,8 @@ class CrawlEngine:
             self._run_bff(seeds)
         elif self.spec.strategy == "dfs":
             self._run_dfs(seeds)
+        elif self.spec.strategy == "dfs_batched":
+            self._run_dfs_batched(seeds)
         else:
             raise ValueError(self.spec.strategy)
         return self.results()
@@ -712,7 +714,10 @@ class CrawlEngine:
             depths.setdefault(it["url"], it["depth"])
         visited = self.seen_store.urls()
         state = {
-            "strategy_type": {"bfs": "bfs", "dfs": "dfs", "best_first": "best_first"}[strategy],
+            "strategy_type": {
+                "bfs": "bfs", "dfs": "dfs", "dfs_batched": "dfs",
+                "best_first": "best_first",
+            }[strategy],
             "visited": visited,
             "depths": depths,
             "pages_crawled": self._pages_crawled,
@@ -723,8 +728,12 @@ class CrawlEngine:
                 {"url": it["url"], "parent_url": it["parent_url"]}
                 for it in pending_rows
             ]
-        elif strategy == "dfs":
-            state["visited"] = sorted(self.visited_set)
+        elif strategy in ("dfs", "dfs_batched"):
+            state["visited"] = (
+                sorted(self.visited_set)
+                if self.visited_set is not None
+                else sorted(self.pop_seen_store.urls())
+            )
             state["dfs_seen"] = visited
             state["stack"] = pending_rows  # bottom → top
         else:
@@ -803,32 +812,43 @@ class CrawlEngine:
             if queue_size <= 0:
                 break
 
-            popped = self._checkpoint(
-                with_global_rank(queue, pop_order, "pop_rn",
-                                 n_rows_hint=queue_size)
-                .filter(F.col("pop_rn") <= spec.batch_size)
+            # One checkpoint for the pop AND its dedupe verdict: the
+            # popped rows carry a __dup flag (already-visited OR a later
+            # occurrence of the same url within the batch) instead of
+            # being split into two materializations — the queue anti-join
+            # needs ALL popped enq_seqs, the fetch needs only the
+            # non-dups, and both read the same cached blocks.
+            ranked = with_global_rank(
+                queue, pop_order, "pop_rn", n_rows_hint=queue_size
+            ).filter(F.col("pop_rn") <= spec.batch_size)
+            if seen.df is not None:
+                seen_flag = seen.df.select(
+                    F.col("url").alias("__seen_url"), F.lit(True).alias("__seen")
+                )
+                ranked = ranked.join(
+                    seen_flag, ranked["url"] == seen_flag["__seen_url"], "left"
+                ).drop("__seen_url")
+            else:
+                ranked = ranked.withColumn("__seen", F.lit(None).cast("boolean"))
+            w_first = Window.partitionBy("url").orderBy("pop_rn")
+            batch_full = self._checkpoint(
+                ranked.withColumn(
+                    "__dup",
+                    F.coalesce(F.col("__seen"), F.lit(False))
+                    | (F.row_number().over(w_first) > 1),
+                ).drop("__seen")
             )
             queue = queue.join(
-                popped.select("enq_seq"), "enq_seq", "left_anti"
+                batch_full.select("enq_seq"), "enq_seq", "left_anti"
             )
             queue_size = max(0, queue_size - spec.batch_size)
 
-            # pop-time dedupe: vs seen, then first occurrence within batch
-            batch = seen.anti_join(popped, "url")
-            w_first = Window.partitionBy("url").orderBy("pop_rn")
-            batch = (
-                batch.withColumn("rk", F.row_number().over(w_first))
-                .filter(F.col("rk") == 1)
-                .drop("rk")
-            )
-            batch = self._checkpoint(
-                batch.select(
-                    "url",
-                    "parent_url",
-                    "depth",
-                    (-F.col("neg_score")).alias("score"),
-                    F.col("pop_rn").alias("seq"),
-                )
+            batch = batch_full.filter(~F.col("__dup")).select(
+                "url",
+                "parent_url",
+                "depth",
+                (-F.col("neg_score")).alias("score"),
+                F.col("pop_rn").alias("seq"),
             )
             seen.add(batch.select("url"))
 
@@ -851,16 +871,57 @@ class CrawlEngine:
                     (F.col("cum_ok") - F.col("success").cast("long"))
                     < F.lit(remaining_before)
                 )
-            emitted = self._emit(fetched, round_no, [F.col("seq")]).persist()
+            emitted = self._emit(fetched, round_no, [F.col("seq")])
 
-            stats = emitted.agg(
-                F.count("*").alias("n"),
-                F.sum(F.col("success").cast("long")).alias("ok"),
-            ).collect()[0]
+            # ---- discovery, built lazily BEFORE any stats job ----
+            # Boundary-row exclusion holds unconditionally: below the cap
+            # every success row has cum_ok2 ≤ n_success < remaining, so
+            # the filter is a no-op; at the cap it excludes exactly the
+            # boundary page (bff_strategy.py:295-307) — no driver-side
+            # reached_cap branch needed at plan-build time.
+            w_cum2 = Window.orderBy("emit_seq").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            parents = emitted.withColumn(
+                "cum_ok2", F.sum(F.col("success").cast("long")).over(w_cum2)
+            ).filter(F.col("success"))
+            if spec.max_pages != math.inf:
+                parents = parents.filter(F.col("cum_ok2") < F.lit(remaining_before))
+            cand = self._discover_candidates(parents)
+            # BFF dedupes ONLY against visited — duplicates may re-enter
+            # the queue from different parents (pop-time dedupe)
+            cand = seen.anti_join(cand, "norm_url")
+            new_items = with_global_rank(
+                cand, ["emit_seq", "link_idx"], "__enq_rn",
+                n_rows_hint=spec.batch_size * 4,
+            ).select(
+                (-F.col("score")).alias("neg_score"),
+                F.col("next_depth").alias("depth"),
+                F.col("norm_url").alias("url"),
+                F.col("src_url").alias("parent_url"),
+                (F.col("__enq_rn") + F.lit(enq_count) - 1).alias("enq_seq"),
+            )
+            # checkpoint the (small) new_items part: every later pop
+            # reuses it without re-running the discovery pipeline (which
+            # crosses the Arrow UDF bridge)
+            new_items = self._checkpoint(new_items)
+
+            # ONE stats job for the whole round: emit count/successes and
+            # the new-item count are two 1-row aggregates over cached
+            # blocks — crossJoin fuses them into a single collect
+            # (r2 ran separate emit-stats and new_items.count() jobs).
+            stats = (
+                emitted.agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("success").cast("long")).alias("ok"),
+                )
+                .crossJoin(new_items.agg(F.count("*").alias("n_new")))
+                .collect()[0]
+            )
             n_emitted = int(stats["n"])
             n_success = int(stats["ok"] or 0)
+            n_new = int(stats["n_new"])
             if n_emitted == 0:  # whole batch was already-visited dupes
-                emitted.unpersist()
                 round_no += 1
                 rounds_since_ckpt += 1
                 continue
@@ -875,43 +936,13 @@ class CrawlEngine:
                     "pages_crawled": self._pages_crawled,
                 }
             )
-
             reached_cap = (
                 spec.max_pages != math.inf
                 and self._pages_crawled >= spec.max_pages
             )
-            # discovery: successful emitted rows except the boundary row
-            w_cum2 = Window.orderBy("emit_seq").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-            parents = emitted.withColumn(
-                "cum_ok2", F.sum(F.col("success").cast("long")).over(w_cum2)
-            ).filter(F.col("success"))
-            if reached_cap:
-                parents = parents.filter(F.col("cum_ok2") < F.lit(remaining_before))
-            cand = self._discover_candidates(parents)
-            # BFF dedupes ONLY against visited — duplicates may re-enter
-            # the queue from different parents (pop-time dedupe)
-            cand = seen.anti_join(cand, "norm_url")
-            new_items = with_global_rank(
-                cand, ["emit_seq", "link_idx"], "__enq_rn",
-                n_rows_hint=n_emitted * 4,
-            ).select(
-                (-F.col("score")).alias("neg_score"),
-                F.col("next_depth").alias("depth"),
-                F.col("norm_url").alias("url"),
-                F.col("src_url").alias("parent_url"),
-                (F.col("__enq_rn") + F.lit(enq_count) - 1).alias("enq_seq"),
-            )
-            # checkpoint the (small) new_items part: the count below and
-            # every later pop reuse it without re-running the discovery
-            # pipeline (which crosses the Arrow UDF bridge)
-            new_items = self._checkpoint(new_items)
-            n_new = new_items.count()
             enq_count += n_new
             queue_size += n_new
             self._emit_count += n_emitted
-            emitted.unpersist()
             queue = queue.unionByName(new_items)
             if spec.checkpoint_dir:
                 self._snapshot_round(round_no + 1, queue=queue)
@@ -968,13 +999,20 @@ class CrawlEngine:
             pos_counter = len(seeds) + 1
             self._depths.update({s: 0 for s in seeds})
         round_no = 0
+        pops_since_ckpt = 0
         while round_no < spec.max_rounds and not self._check_cancellation():
-            stack = self._checkpoint(stack)
+            # stack lives as a lazy filter/union chain over checkpointed
+            # new_items parts; a full checkpoint every 4 pops bounds the
+            # plan without paying a materialization job per URL
+            if pops_since_ckpt >= 4:
+                stack = self._checkpoint(stack)
+                pops_since_ckpt = 0
             top = stack.orderBy(F.desc("pos")).limit(1).collect()
             if not top:
                 break
             row = top[0]
             stack = stack.filter(F.col("pos") != row["pos"])
+            pops_since_ckpt += 1
             if row["url"] in visited or row["depth"] > spec.max_depth:
                 continue
             visited.add(row["url"])
@@ -990,11 +1028,55 @@ class CrawlEngine:
                     "score", spec.scorer.column(F.col("url"))
                 )
             emitted = self._emit(fetched, round_no, [F.col("seq")])
-            res = emitted.collect()[0]
             self._result_parts.append(emitted.drop("links"))
             self._emit_count += 1
             round_no += 1
-            if not res["success"]:
+
+            # Arithmetic leaf skip: a pop at max_depth cannot produce
+            # children (next_depth guard) — skip the whole discovery job
+            # (the reference's can_process fails for every child,
+            # dfs_strategy.py:62-70); only the success flag is needed.
+            if row["depth"] >= spec.max_depth:
+                res = emitted.select("success").collect()[0]
+                ok = bool(res["success"])
+                self._pages_crawled += int(ok)
+                self._metrics.append(
+                    {"round": round_no, "strategy": "dfs", "fetched": 1,
+                     "succeeded": int(ok), "pages_crawled": self._pages_crawled}
+                )
+                if ok and self._pages_crawled >= spec.max_pages:
+                    break
+                continue
+
+            # Discovery is BUILT before any collect (success gating moves
+            # into the plan: a failed fetch has no success rows, so
+            # deduped is empty) — its checkpoint and the success flag
+            # then share ONE fused stats job (r2 ran a result collect,
+            # an n_valid count and an n_new count separately).
+            parents = emitted.filter(F.col("success")).withColumn(
+                "crawled_incl", F.lit(1)
+            )
+            cand = self._discover_candidates(parents)
+            cand = dfs_seen.anti_join(cand, "norm_url")
+            w_first = Window.partitionBy("norm_url").orderBy("link_idx")
+            deduped = (
+                cand.withColumn("rk", F.row_number().over(w_first))
+                .filter(F.col("rk") == 1)
+                .drop("rk")
+            )
+            deduped = self._checkpoint(deduped)
+            dfs_seen.add(deduped.select(F.col("norm_url").alias("url")))
+
+            stats = (
+                emitted.agg(
+                    F.sum(F.col("success").cast("long")).alias("ok")
+                )
+                .crossJoin(deduped.agg(F.count("*").alias("n_valid")))
+                .collect()[0]
+            )
+            ok = bool(stats["ok"])
+            n_valid = int(stats["n_valid"])
+            if not ok:
                 self._metrics.append(
                     {"round": round_no, "strategy": "dfs", "fetched": 1,
                      "succeeded": 0, "pages_crawled": self._pages_crawled}
@@ -1008,18 +1090,6 @@ class CrawlEngine:
             if self._pages_crawled >= spec.max_pages:
                 break
 
-            parents = emitted.withColumn("crawled_incl", F.lit(1))
-            cand = self._discover_candidates(parents)
-            cand = dfs_seen.anti_join(cand, "norm_url")
-            w_first = Window.partitionBy("norm_url").orderBy("link_idx")
-            deduped = (
-                cand.withColumn("rk", F.row_number().over(w_first))
-                .filter(F.col("rk") == 1)
-                .drop("rk")
-            )
-            deduped = self._checkpoint(deduped)
-            dfs_seen.add(deduped.select(F.col("norm_url").alias("url")))
-
             remaining = (
                 int(spec.max_pages) - self._pages_crawled
                 if spec.max_pages != math.inf
@@ -1032,16 +1102,16 @@ class CrawlEngine:
             )
             w_trim = Window.orderBy(*order_cols)
             trimmed = deduped.withColumn("trim_rn", F.row_number().over(w_trim))
-            n_valid = deduped.count()
             overflow = remaining is not None and n_valid > remaining
             if remaining is not None:
                 trimmed = trimmed.filter(F.col("trim_rn") <= F.lit(remaining))
             # push order: score order only when the capacity cut occurred
             # (dfs_strategy.py:318-321), else discovery order; reversed
             # push: first-discovered gets the HIGHEST pos → pops next
-            # (dfs_strategy.py:100-103)
+            # (dfs_strategy.py:100-103).  n_new is arithmetic — the trim
+            # is a prefix cut of the n_valid rows, no second count job.
             child_ord = F.col("trim_rn") if overflow else F.col("link_idx")
-            n_new = trimmed.count()
+            n_new = n_valid if remaining is None else min(n_valid, remaining)
             new_items = trimmed.select(
                 F.col("norm_url").alias("url"),
                 F.col("src_url").alias("parent_url"),
@@ -1056,6 +1126,257 @@ class CrawlEngine:
             stack = stack.unionByName(new_items)
             if spec.checkpoint_dir:
                 self._snapshot_round(round_no, stack=stack)
+
+        self._pending_df = stack
+        self._pending_order = [F.asc("pos")]
+        self._pending_kind = "stack"
+
+    # -- DFS (batched throughput mode: top-of-stack slice per round) -----------
+
+    def _run_dfs_batched(self, seeds: list[str]) -> None:
+        """W2 throughput mode (SURVEY §2.6): each round pops the
+        contiguous top-``batch_size`` slice of the stack, fetches it as
+        one join, and pushes all children so that children of
+        earlier-popped parents pop first — DFS at batch granularity.
+
+        Semantics vs strict mode (``strategy="dfs"``), by design:
+
+        - With ``batch_size=1`` the traversal, emission order, seen set
+          and stack evolution are IDENTICAL to strict mode (covered by
+          tests/test_dfs_batched.py parity cases).
+        - With larger batches, the crawled SET equals strict DFS on an
+          uncapped crawl (same reachability through the same dedupe
+          rules); ordering is batch-granular: a round's URLs emit in
+          stack order even though strict DFS would finish the first
+          URL's subtree before touching the second.
+        - Under ``max_pages`` the boundary behaves like the best-first
+          batch cap (boundary page kept, rows after dropped; the
+          reference's overflow score-sort quirk is strict-mode-only —
+          batched pushes in discovery order).
+
+        Per round: 4 driver jobs (pop+dedupe checkpoint, emit
+        checkpoint, discovery checkpoint, one fused stats collect)
+        amortized over ``batch_size`` URLs — vs ~4 jobs PER URL in
+        strict mode.
+        """
+        spark = self.spark
+        spec = self.spec
+        pop_seen = self._make_seen()   # pop-time visited (strict's python set)
+        dfs_seen = self._make_seen()   # discovery-time dedupe (_dfs_seen)
+        self.seen_store = dfs_seen
+        self.pop_seen_store = pop_seen
+        self.visited_set = None        # export_state falls back to pop_seen
+        stack_schema = (
+            "url string, parent_url string, depth int, score double, pos long"
+        )
+        rs = spec.resume_state
+        if rs:
+            dseen = rs.get("dfs_seen", [])
+            if dseen:
+                dfs_seen.add(
+                    spark.createDataFrame([(u,) for u in dseen], "url string")
+                )
+            vis = rs.get("visited", [])
+            if vis:
+                pop_seen.add(
+                    spark.createDataFrame([(u,) for u in vis], "url string")
+                )
+            self._depths.update(rs.get("depths", {}))
+            self._pages_crawled = int(rs.get("pages_crawled", 0))
+            items = rs.get("stack", [])  # bottom → top
+            stack = spark.createDataFrame(
+                [
+                    (it["url"], it.get("parent_url"), int(it["depth"]), 0.0, i)
+                    for i, it in enumerate(items)
+                ],
+                stack_schema,
+            )
+            pos_counter = len(items) + 1
+            stack_size = len(items)
+        else:
+            dfs_seen.add(spark.createDataFrame([(s,) for s in seeds], "url string"))
+            stack = spark.createDataFrame(
+                [(s, None, 0, 0.0, len(seeds) - i) for i, s in enumerate(seeds)],
+                stack_schema,
+            )
+            pos_counter = len(seeds) + 1
+            stack_size = len(seeds)
+            self._depths.update({s: 0 for s in seeds})
+        round_no = 0
+        rounds_since_ckpt = 0
+        while round_no < spec.max_rounds and not self._check_cancellation():
+            if self._pages_crawled >= spec.max_pages:
+                break
+            if stack_size <= 0:
+                break
+            if rounds_since_ckpt >= 4:
+                stack = self._checkpoint(stack)
+                rounds_since_ckpt = 0
+
+            # pop + dedupe verdict in ONE checkpoint (see _run_bff)
+            ranked = with_global_rank(
+                stack, [F.desc("pos")], "pop_rn", n_rows_hint=stack_size
+            ).filter(F.col("pop_rn") <= spec.batch_size)
+            if pop_seen.df is not None:
+                seen_flag = pop_seen.df.select(
+                    F.col("url").alias("__seen_url"), F.lit(True).alias("__seen")
+                )
+                ranked = ranked.join(
+                    seen_flag, ranked["url"] == seen_flag["__seen_url"], "left"
+                ).drop("__seen_url")
+            else:
+                ranked = ranked.withColumn("__seen", F.lit(None).cast("boolean"))
+            w_first = Window.partitionBy("url").orderBy("pop_rn")
+            batch_full = self._checkpoint(
+                ranked.withColumn(
+                    "__dup",
+                    F.coalesce(F.col("__seen"), F.lit(False))
+                    | (F.row_number().over(w_first) > 1)
+                    | (F.col("depth") > F.lit(spec.max_depth)),
+                ).drop("__seen")
+            )
+            stack = stack.join(batch_full.select("pos"), "pos", "left_anti")
+            stack_size = max(0, stack_size - spec.batch_size)
+
+            batch = batch_full.filter(~F.col("__dup")).select(
+                "url", "parent_url", "depth", "score",
+                F.col("pop_rn").alias("seq"),
+            )
+            pop_seen.add(batch.select("url"))
+
+            fetched = self._fetch(batch)
+            if spec.scorer is not None:
+                # dfs_strategy.py:88-90: popped URL is re-scored
+                fetched = fetched.withColumn(
+                    "score", spec.scorer.column(F.col("url"))
+                )
+            w_emit = Window.orderBy("seq").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            remaining_before = (
+                float(spec.max_pages) - self._pages_crawled
+                if spec.max_pages != math.inf
+                else math.inf
+            )
+            fetched = fetched.withColumn(
+                "cum_ok", F.sum(F.col("success").cast("long")).over(w_emit)
+            )
+            if spec.max_pages != math.inf:
+                fetched = fetched.filter(
+                    (F.col("cum_ok") - F.col("success").cast("long"))
+                    < F.lit(remaining_before)
+                )
+            emitted = self._emit(fetched, round_no, [F.col("seq")])
+
+            # discovery before stats (success gating + boundary exclusion
+            # live in the plan — see _run_bff)
+            w_cum2 = Window.orderBy("emit_seq").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            parents = emitted.withColumn(
+                "cum_ok2", F.sum(F.col("success").cast("long")).over(w_cum2)
+            ).filter(F.col("success"))
+            if spec.max_pages != math.inf:
+                parents = parents.filter(F.col("cum_ok2") < F.lit(remaining_before))
+            cand = self._discover_candidates(parents)
+            cand = dfs_seen.anti_join(cand, "norm_url")
+            # first-occurrence dedupe across the round's parents, in
+            # (parent pop order, link order) — strict's sequential
+            # dfs_seen.add at batch granularity
+            w_cfirst = Window.partitionBy("norm_url").orderBy(
+                "emit_seq", "link_idx"
+            )
+            uniq = (
+                cand.withColumn("rk", F.row_number().over(w_cfirst))
+                .filter(F.col("rk") == 1)
+                .drop("rk")
+            )
+            # two selection orders, same checkpoint: discovery order for
+            # the normal push, score order for the capacity-overflow cut
+            # (strict mode's dfs_strategy.py:318-321 quirk)
+            uniq = with_global_rank(
+                uniq, [F.asc("emit_seq"), F.asc("link_idx")], "__push_rn",
+                n_rows_hint=spec.batch_size * 4,
+            )
+            score_order = (
+                [F.desc("score"), F.asc("emit_seq"), F.asc("link_idx")]
+                if spec.scorer
+                else [F.asc("emit_seq"), F.asc("link_idx")]
+            )
+            deduped = self._checkpoint(
+                with_global_rank(
+                    uniq, score_order, "__score_rn",
+                    n_rows_hint=spec.batch_size * 4,
+                )
+            )
+            dfs_seen.add(deduped.select(F.col("norm_url").alias("url")))
+
+            stats = (
+                emitted.agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("success").cast("long")).alias("ok"),
+                )
+                .crossJoin(deduped.agg(F.count("*").alias("n_valid")))
+                .collect()[0]
+            )
+            n_emitted = int(stats["n"])
+            n_success = int(stats["ok"] or 0)
+            n_valid = int(stats["n_valid"])
+            if n_emitted == 0:  # whole slice was dup/over-depth
+                round_no += 1
+                rounds_since_ckpt += 1
+                continue
+            self._pages_crawled += n_success
+            self._result_parts.append(emitted.drop("links", "cum_ok"))
+            self._metrics.append(
+                {
+                    "round": round_no,
+                    "strategy": "dfs_batched",
+                    "fetched": n_emitted,
+                    "succeeded": n_success,
+                    "pages_crawled": self._pages_crawled,
+                }
+            )
+            self._emit_count += n_emitted
+
+            remaining_after = (
+                int(spec.max_pages) - self._pages_crawled
+                if spec.max_pages != math.inf
+                else None
+            )
+            n_new = (
+                n_valid if remaining_after is None
+                else min(n_valid, max(remaining_after, 0))
+            )
+            if n_new > 0:
+                # overflow + scorer ⇒ keep the top-scoring children and
+                # push them in score order (strict parity); otherwise
+                # select and push in discovery order
+                sel = (
+                    F.col("__score_rn")
+                    if (n_valid > n_new and spec.scorer is not None)
+                    else F.col("__push_rn")
+                )
+                trimmed = deduped.filter(sel <= F.lit(n_new))
+                # reversed push generalized over the batch: the j-th child
+                # in selection order gets the j-th HIGHEST pos — children
+                # of the first-popped parent pop first
+                new_items = trimmed.select(
+                    F.col("norm_url").alias("url"),
+                    F.col("src_url").alias("parent_url"),
+                    F.col("next_depth").alias("depth"),
+                    F.col("score"),
+                    (F.lit(pos_counter + n_new) - sel)
+                    .cast("long")
+                    .alias("pos"),
+                )
+                pos_counter += n_new
+                stack = stack.unionByName(new_items)
+                stack_size += n_new
+            if spec.checkpoint_dir:
+                self._snapshot_round(round_no + 1, stack=stack)
+            round_no += 1
+            rounds_since_ckpt += 1
 
         self._pending_df = stack
         self._pending_order = [F.asc("pos")]
