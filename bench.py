@@ -196,6 +196,41 @@ def main() -> None:
 
     extras["bff_batched_urls"] = timed("bff_crawl_batched", bff_batched)
 
+    # --- q2c: DFS strict parity mode (small on purpose: sequential by
+    # reference semantics — the entry exists to anchor the batched-mode
+    # speedup ratio, not as a scale path) --------------------------------
+    def dfs_strict():
+        eng = CrawlEngine(
+            spark,
+            pages,
+            CrawlSpec(
+                max_depth=2, strategy="dfs", scorer=SCORER, max_pages=20
+            ),
+        )
+        return eng.run(seeds[0]).count()
+
+    extras["dfs_strict_urls"] = timed("dfs_crawl", dfs_strict)
+    extras["dfs_strict_urls_per_sec"] = round(
+        extras["dfs_strict_urls"] / timings["dfs_crawl"], 2
+    )
+
+    # --- q2d: DFS batched throughput mode (top-of-stack slice per round) ----
+    def dfs_batched():
+        eng = CrawlEngine(
+            spark,
+            pages,
+            CrawlSpec(
+                max_depth=2, strategy="dfs_batched", scorer=SCORER,
+                max_pages=3000, batch_size=500,
+            ),
+        )
+        return eng.run(seeds[:500]).count()
+
+    extras["dfs_batched_urls"] = timed("dfs_crawl_batched", dfs_batched)
+    extras["dfs_batched_urls_per_sec"] = round(
+        extras["dfs_batched_urls"] / timings["dfs_crawl_batched"], 2
+    )
+
     # --- q3: URL normalization throughput (Arrow UDF path) ------------------
     def normalize():
         base = spark.range(0, n_corpus).select(
@@ -218,6 +253,18 @@ def main() -> None:
         return pairs.count()
 
     extras["lsh_pairs"] = timed("minhash_lsh", lsh)
+
+    # same query WITH the scale cap (max_bucket_size) — recorded so the
+    # cap-window cost is observable next to the uncapped reference
+    # semantics (VERDICT r2 #10)
+    def lsh_capped():
+        sig = D.minhash_signature(docs, num_hashes=16, shingle_n=3)
+        pairs = D.minhash_lsh_pairs(
+            sig, bands=4, rows_per_band=4, max_bucket_size=1000
+        )
+        return pairs.count()
+
+    extras["lsh_pairs_capped"] = timed("minhash_lsh_capped", lsh_capped)
 
     # --- q5: embedding cosine top-k -----------------------------------------
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

@@ -59,6 +59,12 @@ class CrawlSpec:
     score_threshold: float = -math.inf
     max_pages: float = math.inf
     batch_size: int = BATCH_SIZE
+    # per-successful-URL state callback (bfs_strategy.py:266-284);
+    # BFS only, mirrors the reference signature/cadence exactly
+    on_state_change: object = None
+    # reference-shape resume dict (visited/pending/depths/pages_crawled,
+    # bfs_strategy.py:211-228); BFS only
+    resume_state: dict | None = None
 
 
 @dataclass
@@ -149,11 +155,22 @@ def _bfs_discovery(
 
 
 def _bfs(pages, seeds, spec):
-    visited: set = set()
-    current_level = [(s, None, 0.0) for s in seeds]
-    depths = {s: 0 for s in seeds}
+    if spec.resume_state:
+        # bfs_strategy.py:221-228: resume drops nothing it knew —
+        # visited/depths/pages_crawled restored, current_level = pending
+        visited = set(spec.resume_state.get("visited", []))
+        current_level = [
+            (it["url"], it.get("parent_url"), 0.0)
+            for it in spec.resume_state.get("pending", [])
+        ]
+        depths = dict(spec.resume_state.get("depths", {}))
+        pages_crawled = int(spec.resume_state.get("pages_crawled", 0))
+    else:
+        visited = set()
+        current_level = [(s, None, 0.0) for s in seeds]
+        depths = {s: 0 for s in seeds}
+        pages_crawled = 0
     emissions: list[Emission] = []
-    pages_crawled = 0
     seq = 0
     while current_level:
         if pages_crawled >= spec.max_pages:
@@ -171,6 +188,21 @@ def _bfs(pages, seeds, spec):
                 _bfs_discovery(
                     pages, spec, url, depth, visited, next_level, depths, pages_crawled
                 )
+                if spec.on_state_change is not None:
+                    # bfs_strategy.py:273-284, verbatim cadence
+                    spec.on_state_change(
+                        {
+                            "strategy_type": "bfs",
+                            "visited": list(visited),
+                            "pending": [
+                                {"url": u, "parent_url": p}
+                                for u, p, _ in next_level
+                            ],
+                            "depths": dict(depths),
+                            "pages_crawled": pages_crawled,
+                            "cancelled": False,
+                        }
+                    )
         current_level = next_level
     return emissions, visited
 

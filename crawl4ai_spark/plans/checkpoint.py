@@ -100,6 +100,102 @@ def load_round(
     return out
 
 
+def per_url_states(
+    spark: SparkSession, checkpoint_dir: str, round_no: int | None = None
+) -> list[dict]:
+    """Reconstruct the reference's per-URL ``on_state_change`` stream
+    (bfs_strategy.py:266-284) for the BFS round that produced snapshot
+    ``round_no`` — one reference-shape state dict per successful URL,
+    with ``pages_crawled == i+1`` semantics, each usable as a
+    ``resume_state`` to restart MID-LEVEL (the crash-recovery cadence of
+    test_deep_crawl_resume.py:321-349).
+
+    Derivation (no live engine needed): snapshot N holds round N-1's
+    ``results`` (emit order), pre-trim ``discovered`` rows tagged with
+    the parent's emit_seq, the post-trim next ``frontier`` (also
+    src-tagged), the ``seen`` set AFTER the round, and the manifest's
+    pages_crawled AFTER the round.  State i is then:
+
+    - visited  = seen minus candidates discovered by parents AFTER the
+      i-th success (reference adds pre-trim candidates to visited);
+    - pending  = post-trim children of parents up to i, in push order;
+    - depths   = this round's URLs + enqueued children (the slice of the
+      reference's accumulated dict that a mid-level resume reads);
+    - pages_crawled = (pages before the round) + i + 1.
+
+    Pure-BFS snapshots only (politeness-deferred frontier rows carry a
+    stale/absent src_emit_seq and are treated as pending from state 0).
+    """
+    snap = load_round(spark, checkpoint_dir, round_no)
+    manifest = snap["manifest"]
+    if manifest["strategy"] != "bfs" or "results" not in snap:
+        raise ValueError(
+            "per_url_states needs a BFS snapshot with a results table"
+        )
+    res = snap["results"].orderBy("emit_seq").collect()
+    emit_seqs = {r["emit_seq"] for r in res}
+    disc = (
+        snap["discovered"].orderBy("src_emit_seq", "link_idx").collect()
+        if "discovered" in snap
+        else []
+    )
+    fr = snap["frontier"]
+    has_src = "src_emit_seq" in fr.columns
+    pend_rows = fr.orderBy("seq").collect() if has_src else []
+    seen_urls = (
+        [r["url"] for r in snap["seen"].collect()] if "seen" in snap else []
+    )
+    n_succ = sum(1 for r in res if r["success"])
+    prior_crawled = manifest["pages_crawled"] - n_succ
+
+    # visited before subtracting this round: full seen; later parents'
+    # candidates are removed incrementally (dict preserves insert order)
+    later = {}
+    for d in disc:
+        later.setdefault(d["norm_url"], d["src_emit_seq"])
+    depths = {r["url"]: r["depth"] for r in res}
+    states: list[dict] = []
+    i = 0
+    pending_acc: list[dict] = []
+    pi = 0
+    # pending rows whose src tag is outside this round's emit range are
+    # carry-over (politeness deferrals): pending from the start
+    base_pending = [
+        {"url": p["url"], "parent_url": p["parent_url"]}
+        for p in pend_rows
+        if p["src_emit_seq"] is None or p["src_emit_seq"] not in emit_seqs
+    ]
+    round_children = [
+        p for p in pend_rows
+        if p["src_emit_seq"] is not None and p["src_emit_seq"] in emit_seqs
+    ]
+    for r in res:
+        if not r["success"]:
+            continue
+        e = r["emit_seq"]
+        while pi < len(round_children) and round_children[pi]["src_emit_seq"] <= e:
+            p = round_children[pi]
+            pending_acc.append({"url": p["url"], "parent_url": p["parent_url"]})
+            depths[p["url"]] = p["depth"]
+            pi += 1
+        visited_i = [
+            u for u in seen_urls
+            if u not in later or later[u] <= e
+        ]
+        i += 1
+        states.append(
+            {
+                "strategy_type": "bfs",
+                "visited": visited_i,
+                "pending": base_pending + list(pending_acc),
+                "depths": dict(depths),
+                "pages_crawled": prior_crawled + i,
+                "cancelled": False,
+            }
+        )
+    return states
+
+
 def resume_state_from_snapshot(
     spark: SparkSession, checkpoint_dir: str, round_no: int | None = None
 ) -> dict:
