@@ -614,8 +614,11 @@ def q_embedding_coverage(spark, sf_dir):
 
 
 def q_politeness_backoff(spark, sf_dir):
-    """P2 adaptive backoff fold over one round of outcomes (rows-only:
-    the sequential seeded fold is not SQL-expressible)."""
+    """P2 adaptive backoff fold over one round of outcomes
+    (async_dispatcher.py:65-85).  The md5-seeded jitter stream makes
+    the sequential per-domain fold fully deterministic, so the DuckDB
+    oracle replays the identical fold as a recursive CTE — both sides
+    run the same IEEE-double op sequence, value-hash checked."""
     from crawl4ai_spark.operators.politeness import PolitenessSpec, PolitenessState
 
     n = _docs(spark, sf_dir).count()
@@ -627,7 +630,10 @@ def q_politeness_backoff(spark, sf_dir):
     state.update(outcomes, round_no=0)
     return state.state.select(
         "domain",
-        F.round("current_delay", 6).alias("current_delay"),
+        # round-before-floor: cross-engine ULP robustness (see q_seo_filter)
+        F.floor(F.round(F.col("current_delay"), 9) * 1e6)
+        .cast("long")
+        .alias("delay_fp"),
         "fail_count",
         "retired",
     )
@@ -1323,6 +1329,51 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
               FROM events
             ) WHERE rn <= 5
+        """,
+        # P2 backoff: replay the engine's sequential per-domain fold
+        # (async_dispatcher.py:65-85 semantics, md5-seeded jitter) as a
+        # recursive CTE — same IEEE-double op order, so values match
+        # bit-for-bit before the fingerprint floor.
+        "politeness_backoff": """
+            WITH RECURSIVE
+            steps AS (
+              SELECT domain, status_code,
+                     row_number() OVER (PARTITION BY domain ORDER BY doc_id) - 1 AS k
+              FROM (
+                SELECT doc_id,
+                       'd' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                                        ELSE doc_id % 7 END AS VARCHAR)
+                       || '.example.com' AS domain,
+                       (CASE WHEN doc_id % 13 = 0 THEN 404
+                             WHEN doc_id % 17 = 0 THEN 429
+                             WHEN doc_id % 19 = 0 THEN 503
+                             ELSE 200 END) AS status_code
+                FROM documents
+              )
+            ),
+            fold AS (
+              SELECT domain, CAST(-1 AS BIGINT) AS k,
+                     1.0 + 2.0 * (CAST('0x' || substr(md5('init:' || domain || ':42'), 1, 8) AS BIGINT) / 4294967296.0) AS delay,
+                     0 AS fails, FALSE AS retired
+              FROM (SELECT DISTINCT domain FROM steps)
+              UNION ALL
+              SELECT s.domain, s.k,
+                     CASE WHEN s.status_code IN (429, 503)
+                          THEN least(f.delay * 2 * (0.75 + 0.5 * (CAST('0x' || substr(md5('back:' || s.domain || ':0:' || s.k || ':42'), 1, 8) AS BIGINT) / 4294967296.0)), 60.0)
+                          ELSE greatest(1.0 + 2.0 * (CAST('0x' || substr(md5('succ:' || s.domain || ':0:' || s.k || ':42'), 1, 8) AS BIGINT) / 4294967296.0), f.delay * 0.75)
+                     END AS delay,
+                     CASE WHEN s.status_code IN (429, 503) THEN f.fails + 1 ELSE 0 END AS fails,
+                     (f.retired OR (s.status_code IN (429, 503) AND f.fails + 1 > 3)) AS retired
+              FROM fold f
+              JOIN steps s ON s.domain = f.domain AND s.k = f.k + 1
+            )
+            SELECT f.domain,
+                   CAST(FLOOR(ROUND(f.delay, 9) * 1e6) AS BIGINT) AS delay_fp,
+                   CAST(f.fails AS INT) AS fail_count,
+                   f.retired
+            FROM fold f
+            JOIN (SELECT domain, MAX(k) AS mk FROM fold GROUP BY domain) m
+              ON f.domain = m.domain AND f.k = m.mk
         """,
         "robots_gate": f"""
             SELECT doc_id, url,

@@ -122,6 +122,16 @@ class CrawlSpec:
     # >5000 parents), True/False = force.  True is used by warm-up
     # crawls so they compile the exact plan shape of large rounds.
     repartition_discovery: bool | None = None
+    # P3 MemoryAdaptiveDispatcher analog (async_dispatcher.py:155-288):
+    # the reference throttles concurrent sessions when memory pressure
+    # rises; here the per-round working set IS the frontier slice, so
+    # the governor caps how many frontier rows fetch per round and
+    # defers the rest — deferred rows keep their (lower) seqs, newly
+    # discovered children rank after them, so the global emission order
+    # is EXACTLY the ungoverned BFS order.  None = unbounded (Spark's
+    # own memory management, the default).  BFS only; ignored when a
+    # politeness spec already bounds the round.
+    max_round_size: int | None = None
     # cooperative cancellation callback (reference bfs_strategy.py:
     # 84-131): checked between rounds (per level for BFS/BFF, per URL
     # for strict DFS); a truthy return stops the crawl.  Exceptions
@@ -510,8 +520,28 @@ class CrawlEngine:
                 if n_frontier == 0:
                     break
                 frontier_now, deferred = politeness.split_budget(frontier)
+                n_defer = None  # unknown until the loop-top recount
+            elif (
+                spec.max_round_size is not None
+                and n_frontier > spec.max_round_size
+            ):
+                # memory governor: fetch the dense seq-prefix of the
+                # frontier, defer the rest — emit_seq == seq still holds
+                # for the fetched slice, and both split sizes are known
+                # arithmetically (no extra jobs).  Deferred rows chain
+                # filter/union plans across rounds; a checkpoint every 4
+                # splits bounds the plan depth.
+                gov_splits = getattr(self, "_gov_splits", 0) + 1
+                self._gov_splits = gov_splits
+                if gov_splits % 4 == 0:
+                    frontier = self._checkpoint(frontier)
+                cutoff = self._emit_count + spec.max_round_size
+                frontier_now = frontier.filter(F.col("seq") < F.lit(cutoff))
+                deferred = frontier.filter(F.col("seq") >= F.lit(cutoff))
+                n_defer = n_frontier - spec.max_round_size
             else:
                 frontier_now, deferred = frontier, None
+                n_defer = 0
 
             t0 = time.time()
             fetched = self._fetch(frontier_now)
@@ -569,7 +599,11 @@ class CrawlEngine:
             # (bfs_strategy.py:141-152), and the engine can skip the
             # whole discovery job (its fixed stage/scheduling floor is
             # pure waste on a provably-empty result).
-            if politeness is None and base_min_depth + round_no >= spec.max_depth:
+            if (
+                politeness is None
+                and spec.max_round_size is None
+                and base_min_depth + round_no >= spec.max_depth
+            ):
                 self._emit_count += int(stats["n"])
                 frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
                 n_frontier = 0
@@ -717,7 +751,10 @@ class CrawlEngine:
                 F.col("src_url").alias("parent_url"),
                 F.col("next_depth").alias("depth"),
                 F.col("score"),
-                (F.col("__next_rn") + F.lit(self._emit_count + n_emit) - 1)
+                # children rank AFTER any governor-deferred rows so the
+                # next frontier's seqs stay dense and in BFS order
+                (F.col("__next_rn")
+                 + F.lit(self._emit_count + n_emit + (n_defer or 0)) - 1)
                 .alias("seq"),
                 # parent's emit_seq: lets the per-URL state stream
                 # (on_state_change / per_url_states) attribute each child
@@ -738,10 +775,10 @@ class CrawlEngine:
                 next_frontier = deferred.unionByName(
                     next_frontier, allowMissingColumns=True
                 )
-                # deferred rows make the true size unknown here; the
-                # politeness branch at the loop top re-counts.  -1 keeps
-                # the fast-path break from firing on an unknown size.
-                n_frontier = -1
+                # politeness deferrals make the true size unknown here
+                # (the loop top re-counts; -1 keeps the fast-path break
+                # from firing); governor deferrals are arithmetic
+                n_frontier = -1 if n_defer is None else n_next + n_defer
             else:
                 n_frontier = n_next
             frontier = next_frontier

@@ -79,10 +79,16 @@ class PolitenessSpec:
         fail_count: int,
         statuses: list[int],
         round_no: int,
+        k0: int = 0,
     ) -> tuple[float, int, bool]:
-        """Sequential update_delay fold (async_dispatcher.py:65-85)."""
+        """Sequential update_delay fold (async_dispatcher.py:65-85).
+
+        ``k0`` offsets the jitter index — the streaming form
+        (streaming/stateful.py) folds a round in several chunks and
+        continues the index across them so chunking never changes the
+        result."""
         retired = False
-        for k, status in enumerate(statuses):
+        for k, status in enumerate(statuses, start=k0):
             if status in RATE_LIMIT_CODES:
                 fail_count += 1
                 if fail_count > self.max_retries:

@@ -13,7 +13,15 @@ actually quadruples; larger pairs measure the quota, not the engine.
 On a real cluster each executor owns its cores, so executor count
 N vs 4N maps to exactly this comparison.
 
+Noise protocol (VERDICT r2 #3): >=3 interleaved reps per level
+(N, 4N, N, 4N, ...), report the MEDIAN pairing — median(4N runs) /
+median(N runs) / 4 — as the headline (robust to the box's documented
++-40% quota swings), with best- and worst-case pairings alongside, plus
+a local[2]/local[8] cross-check point away from the single-core
+memory-thrash regime.
+
 Usage: python tools/scaling_bench.py [N] [sf_dir]
+Env: SCALING_REPS (default 3), SCALING_CROSS=0 to skip the cross-check.
 Writes/updates BENCH_SCALING.md and prints a JSON line.
 """
 
@@ -21,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 from pathlib import Path
@@ -54,42 +63,79 @@ def cpu_probe() -> list[dict]:
     return [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
 
 
+def pairings(lo_runs: list[dict], hi_runs: list[dict]) -> dict:
+    lo = [r["urls_per_sec"] for r in lo_runs]
+    hi = [r["urls_per_sec"] for r in hi_runs]
+    return {
+        "runs_n": lo,
+        "runs_4n": hi,
+        "eff_median": round((statistics.median(hi) / statistics.median(lo)) / 4, 3),
+        "eff_best": round((max(hi) / min(lo)) / 4, 3),
+        "eff_worst": round((min(hi) / max(lo)) / 4, 3),
+    }
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     probe = cpu_probe()
-    # best-of-REPS per level, INTERLEAVED (N, 4N, N, 4N): the sandbox
-    # shows multi-minute noise spikes; interleaving gives both levels
-    # the same exposure and best-of measures the engine, not the
-    # neighbor.
-    reps = int(os.environ.get("SCALING_REPS", "2"))
+    reps = int(os.environ.get("SCALING_REPS", "3"))
     lo_runs, hi_runs = [], []
     for _ in range(reps):
         lo_runs.append(run_level(n, sf_dir))
         hi_runs.append(run_level(4 * n, sf_dir))
-    lo = max(lo_runs, key=lambda r: r["urls_per_sec"])
-    hi = max(hi_runs, key=lambda r: r["urls_per_sec"])
-    t_lo = lo["urls_per_sec"]
-    t_hi = hi["urls_per_sec"]
-    eff = round((t_hi / t_lo) / 4, 3)
+    main_pair = pairings(lo_runs, hi_runs)
+    eff = main_pair["eff_median"]
+
+    # cross-check pair away from the 1-core memory-thrash regime;
+    # ceiling note: the quota itself only scales 2->8 procs by ~3.3x
+    # (eff ~0.83), so this point under-reports the engine by design
+    cross = None
+    if os.environ.get("SCALING_CROSS", "1") != "0" and n == 1:
+        c_lo, c_hi = [], []
+        for _ in range(2):
+            c_lo.append(run_level(2, sf_dir))
+            c_hi.append(run_level(8, sf_dir))
+        cross = pairings(c_lo, c_hi)
+
+    lo_best = max(lo_runs, key=lambda r: r["urls_per_sec"])
+    hi_best = max(hi_runs, key=lambda r: r["urls_per_sec"])
     result = {
         "metric": "scaling_efficiency",
         "n_cpus": n,
         "n4_cpus": 4 * n,
-        "urls_per_sec_n": t_lo,
-        "urls_per_sec_4n": t_hi,
+        "urls_per_sec_n": statistics.median(main_pair["runs_n"]),
+        "urls_per_sec_4n": statistics.median(main_pair["runs_4n"]),
         "efficiency": eff,
+        "pairings": main_pair,
+        "cross_check_2_8": cross,
+        "reps": reps,
         "sf_dir": sf_dir,
         "cpu_probe": probe,
-        "bench_n": lo,
-        "bench_4n": hi,
+        "bench_n": lo_best,
+        "bench_4n": hi_best,
     }
     probe_tbl = "\n".join(
         f"| {p['procs']} | {p['iters_per_sec']} | {p['scale_vs_linear']} |"
         for p in probe
     )
+    cross_md = ""
+    if cross is not None:
+        cross_md = (
+            "\n## Cross-check: local[2] vs local[8]\n\n"
+            "Same job away from the single-core memory-thrash regime.\n"
+            "The CPU quota itself only scales 2->8 procs by ~3.3x\n"
+            "(probe table: eff ~0.69-0.83), so this point has a\n"
+            "quota-imposed ceiling below 1.0 and under-reports the\n"
+            "engine by construction; it is a sanity bound, not the\n"
+            "criterion measurement.\n\n"
+            f"Runs (URLs/sec): N=2 {cross['runs_n']}, "
+            f"4N=8 {cross['runs_4n']}\n\n"
+            f"median-pairing efficiency **{cross['eff_median']}** "
+            f"(best {cross['eff_best']}, worst {cross['eff_worst']})\n"
+        )
     md = ROOT / "BENCH_SCALING.md"
     md.write_text(
         "# Scaling evidence (N vs 4N parallelism)\n\n"
@@ -110,17 +156,20 @@ def main():
         "| procs | iters/s | scale vs linear |\n|---|---|---|\n"
         f"{probe_tbl}\n\n"
         "## Measurement\n\n"
-        f"Interleaved best-of-{reps} per level, depth-3 multi-seed BFS\n"
-        f"(seeds {lo.get('seeds')}, corpus {lo.get('corpus_pages')} pages,\n"
-        f"{lo.get('bfs_urls_emitted')} URLs emitted), JIT/codegen warmup\n"
-        "excluded (identical at both levels).\n\n"
-        f"| level | cores | URLs/sec | crawl wall s |\n|---|---|---|---|\n"
-        f"| N | {n} | {t_lo} | {lo.get('wall_s', '?')} |\n"
-        f"| 4N | {4*n} | {t_hi} | {hi.get('wall_s', '?')} |\n\n"
-        f"**Scaling efficiency = (T_4N / T_N) / 4 = {eff}**\n\n"
-        f"All runs: N={[r['urls_per_sec'] for r in lo_runs]}, "
-        f"4N={[r['urls_per_sec'] for r in hi_runs]} URLs/sec\n\n"
-        f"Raw: `{json.dumps({k: v for k, v in result.items() if k not in ('bench_n','bench_4n','cpu_probe')})}`\n"
+        f"{reps} interleaved reps per level (N, 4N, N, 4N, ...), depth-3\n"
+        f"multi-seed BFS (seeds {lo_best.get('seeds')}, corpus\n"
+        f"{lo_best.get('corpus_pages')} pages,\n"
+        f"{lo_best.get('bfs_urls_emitted')} URLs emitted), JIT/codegen\n"
+        "warmup excluded (identical at both levels).  Headline =\n"
+        "median pairing: (median 4N URLs/s / median N URLs/s) / 4 —\n"
+        "robust to the box's documented +-40% quota noise (VERDICT r2 #3).\n\n"
+        f"All runs (URLs/sec): N={main_pair['runs_n']},\n"
+        f"4N={main_pair['runs_4n']}\n\n"
+        f"**Scaling efficiency (median pairing) = {eff}**\n"
+        f"(best-case pairing {main_pair['eff_best']}, worst-case "
+        f"{main_pair['eff_worst']})\n"
+        f"{cross_md}\n"
+        f"Raw: `{json.dumps({k: v for k, v in result.items() if k not in ('bench_n', 'bench_4n', 'cpu_probe')})}`\n"
     )
     print(json.dumps(result))
 
