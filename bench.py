@@ -11,8 +11,8 @@ The headline metric is crawl throughput: URLs scheduled+fetched per
 second over a multi-seed BFS frontier on a synthetic corpus 100× the
 documents table (sf0.1 → 500k pages).  `value` is total wall seconds
 across the suite (driver contract); `urls_per_sec` carries the
-throughput headline.  Scaling-efficiency evidence (local[4] vs
-local[16], ~6M-URL depth-3 crawl) is produced by
+throughput headline.  Scaling-efficiency evidence (local[1] vs
+local[4], ~1M-URL depth-3 crawl, BENCH_MODE=scaling) is produced by
 tools/scaling_bench.py into BENCH_SCALING.md per BASELINE.md.
 """
 
@@ -55,7 +55,12 @@ _SCALING = MODE == "scaling"
 # 8→32-thread scaling at ~2.9×, so larger pairs measure the quota, not
 # the engine), so the depth-3 crawl is sized to finish on ONE core in
 # minutes while still amortizing the per-round driver floor.
-CORPUS_MULT = int(os.environ.get("BENCH_CORPUS_MULT", "400" if _SCALING else "100"))
+# scaling corpus is 150x docs (~750k pages at sf0.1): big enough that
+# the fetch join and seen anti-join are real shuffles, small enough
+# that the UNTIMED per-invocation fixture (corpus gen + repartition +
+# persist, pure-JVM) doesn't dominate wall-clock at local[1] — the
+# timed crawl length is governed by the seed count, not corpus size
+CORPUS_MULT = int(os.environ.get("BENCH_CORPUS_MULT", "150" if _SCALING else "100"))
 N_SEEDS = int(os.environ.get("BENCH_SEEDS", "40000" if _SCALING else "8000"))
 # NOTE (r3): do NOT oversize the local-mode heap for the scaling
 # corpus.  A 48g -Xmx measured 10x SLOWER than the 8g default at
@@ -158,18 +163,32 @@ def main() -> None:
         res = eng.run(seed_src if seed_src is not None else seeds)
         return res.count()
 
-    n_emitted = timed("bfs_crawl", bfs)
-    extras["bfs_urls_emitted"] = n_emitted
-    extras["urls_per_sec"] = round(n_emitted / timings["bfs_crawl"], 2)
-
     if _SCALING:
+        # best-of-K crawls within ONE JVM, identical at both parallelism
+        # levels: a 25-s 4N run is hostage to a single quota burst in a
+        # way a 110-s N run is not; symmetric within-session repetition
+        # de-biases that without changing the workload
+        crawl_reps = int(os.environ.get("BENCH_CRAWL_REPS", "1"))
+        walls = []
+        for _ in range(max(1, crawl_reps)):
+            t0 = time.time()
+            n_emitted = bfs()
+            walls.append(round(time.time() - t0, 3))
+        timings["bfs_crawl"] = min(walls)
+        extras["bfs_urls_emitted"] = n_emitted
+        extras["urls_per_sec"] = round(n_emitted / timings["bfs_crawl"], 2)
         print(json.dumps({
             "metric": "bfs_urls_per_sec", "value": extras["urls_per_sec"],
             "unit": "urls/sec", "wall_s": timings["bfs_crawl"],
+            "crawl_walls": walls,
             "queries": timings, "sf": sf, "cpus": CPUS,
             "corpus_pages": n_corpus, "seeds": len(seeds), **extras,
         }))
         return
+
+    n_emitted = timed("bfs_crawl", bfs)
+    extras["bfs_urls_emitted"] = n_emitted
+    extras["urls_per_sec"] = round(n_emitted / timings["bfs_crawl"], 2)
 
     # --- q2: best-first crawl ----------------------------------------------
     def bff():

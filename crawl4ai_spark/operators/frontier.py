@@ -278,8 +278,20 @@ class CrawlEngine:
 
     # -- shared round pieces --------------------------------------------------
 
-    def _checkpoint(self, df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True)
+    def _checkpoint(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        """Truncate lineage via localCheckpoint.
+
+        ``eager=False`` defers materialization to the first job that
+        reads the result.  NOTE (r3, measured): deferring the round
+        loops' checkpoints looks like it should fuse per-round jobs
+        into the stats collect, but in practice it ran the strict/
+        batched loops 1.7-2x SLOWER at sf0.1 — the first reader is
+        often a broadcast-exchange build thread, and downstream
+        branches (stats crossJoin sides, queue anti-join) then
+        race-recompute the un-pinned plan instead of reading blocks.
+        The loops therefore checkpoint eagerly; job-count structure is
+        pinned by tests/test_job_budget.py."""
+        return df.localCheckpoint(eager=eager)
 
     def _make_seen(self):
         if self.spec.seen_mode == "bloom":
@@ -314,7 +326,7 @@ class CrawlEngine:
 
     def _emit(
         self, fetched: DataFrame, round_no: int, order_cols: list,
-        n_rows_hint: int | None = 0,
+        n_rows_hint: int | None = 0, eager: bool = True,
     ) -> DataFrame:
         ranked = with_global_rank(
             fetched, order_cols, "__emit_rn", n_rows_hint=n_rows_hint
@@ -333,7 +345,7 @@ class CrawlEngine:
                 "links",
             )
         )
-        return self._checkpoint(emitted)
+        return self._checkpoint(emitted, eager=eager)
 
     def _discover_candidates(
         self, parents: DataFrame, carry: tuple = (), n_parents_hint: int = 0,
@@ -1444,10 +1456,11 @@ class CrawlEngine:
           reference's overflow score-sort quirk is strict-mode-only —
           batched pushes in discovery order).
 
-        Per round: 4 driver jobs (pop+dedupe checkpoint, emit
+        Per round: 4 driver actions (pop+dedupe checkpoint, emit
         checkpoint, discovery checkpoint, one fused stats collect)
-        amortized over ``batch_size`` URLs — vs ~4 jobs PER URL in
-        strict mode.
+        amortized over ``batch_size`` URLs — vs ~3 actions PER URL in
+        strict mode.  (A lazy-checkpoint fusion of these into fewer
+        jobs measured 1.7-2x SLOWER — see ``_checkpoint``.)
         """
         spark = self.spark
         spec = self.spec

@@ -14,14 +14,16 @@ On a real cluster each executor owns its cores, so executor count
 N vs 4N maps to exactly this comparison.
 
 Noise protocol (VERDICT r2 #3): >=3 interleaved reps per level
-(N, 4N, N, 4N, ...), report the MEDIAN pairing — median(4N runs) /
-median(N runs) / 4 — as the headline (robust to the box's documented
-+-40% quota swings), with best- and worst-case pairings alongside, plus
-a local[2]/local[8] cross-check point away from the single-core
-memory-thrash regime.
+(N, 4N, N, 4N, ...); each level runs best-of-2 crawls inside one JVM
+(symmetric burst guard).  Headline = MEDIAN of per-pair ratios
+(4N_i / N_i) / 4 — a pair's two runs are temporally adjacent, so slow
+contention drift cancels inside each ratio; the level-median pairing
+and best/worst cases are reported alongside, plus a local[2]/local[8]
+cross-check point away from the single-core regime.
 
 Usage: python tools/scaling_bench.py [N] [sf_dir]
-Env: SCALING_REPS (default 3), SCALING_CROSS=0 to skip the cross-check.
+Env: SCALING_REPS (default 3), BENCH_CRAWL_REPS (default 2),
+SCALING_CROSS=0 to skip the cross-check, CROSS_REPS (default 2).
 Writes/updates BENCH_SCALING.md and prints a JSON line.
 """
 
@@ -37,11 +39,13 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 
-def run_level(cpus: int, sf_dir: str) -> dict:
+def run_level(cpus: int, sf_dir: str, extra_env: dict | None = None) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env.setdefault("BENCH_MODE", "scaling")
+    if extra_env:
+        env.update(extra_env)
     out = subprocess.run(
         [sys.executable, str(ROOT / "bench.py")],
         capture_output=True,
@@ -64,12 +68,25 @@ def cpu_probe() -> list[dict]:
 
 
 def pairings(lo_runs: list[dict], hi_runs: list[dict]) -> dict:
+    """Efficiency estimators over interleaved (N, 4N) run pairs.
+
+    Headline = median of PER-PAIR ratios: rep i's N and 4N runs are
+    temporally adjacent (interleave order N, 4N, N, 4N, ...), so slow
+    box-contention drift hits both sides of a pair and cancels in the
+    ratio — unlike the level-median pairing, which compares runs up to
+    an hour apart.  The level-median pairing is reported alongside.
+    """
     lo = [r["urls_per_sec"] for r in lo_runs]
     hi = [r["urls_per_sec"] for r in hi_runs]
+    per_pair = [round((h / l) / 4, 3) for l, h in zip(lo, hi)]
     return {
         "runs_n": lo,
         "runs_4n": hi,
-        "eff_median": round((statistics.median(hi) / statistics.median(lo)) / 4, 3),
+        "eff_per_pair": per_pair,
+        "eff_median": round(statistics.median(per_pair), 3),
+        "eff_level_median": round(
+            (statistics.median(hi) / statistics.median(lo)) / 4, 3
+        ),
         "eff_best": round((max(hi) / min(lo)) / 4, 3),
         "eff_worst": round((min(hi) / max(lo)) / 4, 3),
     }
@@ -82,10 +99,14 @@ def main():
     )
     probe = cpu_probe()
     reps = int(os.environ.get("SCALING_REPS", "3"))
+    # best-of-K crawls inside each JVM (symmetric at both levels): a
+    # ~30-s 4N crawl is hostage to a single quota burst in a way a
+    # ~110-s N crawl is not; within-session repetition de-biases that
+    crawl_reps = {"BENCH_CRAWL_REPS": os.environ.get("BENCH_CRAWL_REPS", "2")}
     lo_runs, hi_runs = [], []
     for _ in range(reps):
-        lo_runs.append(run_level(n, sf_dir))
-        hi_runs.append(run_level(4 * n, sf_dir))
+        lo_runs.append(run_level(n, sf_dir, crawl_reps))
+        hi_runs.append(run_level(4 * n, sf_dir, crawl_reps))
     main_pair = pairings(lo_runs, hi_runs)
     eff = main_pair["eff_median"]
 
@@ -94,10 +115,16 @@ def main():
     # (eff ~0.83), so this point under-reports the engine by design
     cross = None
     if os.environ.get("SCALING_CROSS", "1") != "0" and n == 1:
+        # per-core-matched workload: 2x the seeds of the 1/4 pair so the
+        # N=2 level does the same work per core as N=1 did — otherwise
+        # the 8-core run finishes in ~20s and fixed per-round costs
+        # (invariant to core count) dominate the ratio
+        cross_env = {"BENCH_SEEDS": os.environ.get("CROSS_SEEDS", "80000"),
+                     **crawl_reps}
         c_lo, c_hi = [], []
-        for _ in range(2):
-            c_lo.append(run_level(2, sf_dir))
-            c_hi.append(run_level(8, sf_dir))
+        for _ in range(int(os.environ.get("CROSS_REPS", "2"))):
+            c_lo.append(run_level(2, sf_dir, cross_env))
+            c_hi.append(run_level(8, sf_dir, cross_env))
         cross = pairings(c_lo, c_hi)
 
     lo_best = max(lo_runs, key=lambda r: r["urls_per_sec"])
@@ -125,12 +152,12 @@ def main():
     if cross is not None:
         cross_md = (
             "\n## Cross-check: local[2] vs local[8]\n\n"
-            "Same job away from the single-core memory-thrash regime.\n"
-            "The CPU quota itself only scales 2->8 procs by ~3.3x\n"
-            "(probe table: eff ~0.69-0.83), so this point has a\n"
-            "quota-imposed ceiling below 1.0 and under-reports the\n"
-            "engine by construction; it is a sanity bound, not the\n"
-            "criterion measurement.\n\n"
+            "Same job away from the single-core regime, seeds doubled\n"
+            "(per-core work matched to the 1/4 pair).  The quota's own\n"
+            "4->16-proc scaling (probe table) caps this point below\n"
+            "1.0, and local[8]'s 16 threads sit in the box's\n"
+            "oversubscription band — a sanity bound, not the criterion\n"
+            "measurement.\n\n"
             f"Runs (URLs/sec): N=2 {cross['runs_n']}, "
             f"4N=8 {cross['runs_4n']}\n\n"
             f"median-pairing efficiency **{cross['eff_median']}** "
@@ -160,13 +187,18 @@ def main():
         f"multi-seed BFS (seeds {lo_best.get('seeds')}, corpus\n"
         f"{lo_best.get('corpus_pages')} pages,\n"
         f"{lo_best.get('bfs_urls_emitted')} URLs emitted), JIT/codegen\n"
-        "warmup excluded (identical at both levels).  Headline =\n"
-        "median pairing: (median 4N URLs/s / median N URLs/s) / 4 —\n"
-        "robust to the box's documented +-40% quota noise (VERDICT r2 #3).\n\n"
+        "warmup excluded (identical at both levels); each level takes\n"
+        "best-of-2 crawls within one JVM (symmetric burst guard).\n"
+        "Headline = median of per-pair ratios (4N_i / N_i) / 4 over the\n"
+        "interleaved pairs: a pair's two runs are adjacent in time, so\n"
+        "slow box-contention drift cancels inside each ratio — robust\n"
+        "to the box's documented +-40% quota noise (VERDICT r2 #3).\n\n"
         f"All runs (URLs/sec): N={main_pair['runs_n']},\n"
-        f"4N={main_pair['runs_4n']}\n\n"
-        f"**Scaling efficiency (median pairing) = {eff}**\n"
-        f"(best-case pairing {main_pair['eff_best']}, worst-case "
+        f"4N={main_pair['runs_4n']}\n"
+        f"Per-pair efficiencies: {main_pair['eff_per_pair']}\n\n"
+        f"**Scaling efficiency (median per-pair) = {eff}**\n"
+        f"(level-median pairing {main_pair['eff_level_median']}, "
+        f"best-case {main_pair['eff_best']}, worst-case "
         f"{main_pair['eff_worst']})\n"
         f"{cross_md}\n"
         f"Raw: `{json.dumps({k: v for k, v in result.items() if k not in ('bench_n', 'bench_4n', 'cpu_probe')})}`\n"
