@@ -577,26 +577,45 @@ class CrawlEngine:
                 emitted = self._emit(
                     fetched, round_no, [F.col("seq")], n_rows_hint=n_frontier
                 )
-            stats = emitted.agg(
-                F.count("*").alias("n"),
-                F.sum(F.col("success").cast("long")).alias("ok"),
-            ).collect()[0]
+            # Fast path (no politeness, no page cap): the emitted count
+            # is ARITHMETIC — emit_seq == seq and every frontier_now row
+            # is fetched+emitted — and the success sum is deferred to
+            # ride the discovery's bucket-count collect below (one fused
+            # driver job instead of a separate stats job per round; the
+            # per-job floor is the scaling-efficiency tax at small
+            # rounds).  Paths that need the success count BEFORE
+            # building discovery (politeness re-entry, max_pages
+            # capacity) keep the explicit stats job.
+            fuse_stats = politeness is None and spec.max_pages == math.inf
+            if fuse_stats:
+                n_round = (
+                    min(n_frontier, spec.max_round_size)
+                    if n_defer
+                    else n_frontier
+                )
+                n_success = None  # resolved by the fused collect below
+            else:
+                stats = emitted.agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("success").cast("long")).alias("ok"),
+                ).collect()[0]
+                n_round = int(stats["n"])
+                n_success = int(stats["ok"] or 0)
             t["fetch_emit_stats"] = round(time.time() - t0, 3)
-            n_success = int(stats["ok"] or 0)
             prior_crawled = self._pages_crawled
-            self._pages_crawled += n_success
-
             self._result_parts.append(emitted.drop("links"))
-            self._metrics.append(
-                {
-                    "round": round_no,
-                    "strategy": "bfs",
-                    "fetched": int(stats["n"]),
-                    "succeeded": n_success,
-                    "pages_crawled": self._pages_crawled,
-                    "t": t,
-                }
-            )
+            if not fuse_stats:
+                self._pages_crawled += n_success
+                self._metrics.append(
+                    {
+                        "round": round_no,
+                        "strategy": "bfs",
+                        "fetched": n_round,
+                        "succeeded": n_success,
+                        "pages_crawled": self._pages_crawled,
+                        "t": t,
+                    }
+                )
             if politeness is not None:
                 politeness.update(
                     emitted.select("emit_seq", "url", "status_code"), round_no
@@ -616,7 +635,28 @@ class CrawlEngine:
                 and spec.max_round_size is None
                 and base_min_depth + round_no >= spec.max_depth
             ):
-                self._emit_count += int(stats["n"])
+                if fuse_stats:
+                    # no discovery job to ride on the last round — the
+                    # success sum gets its own (small) agg over the
+                    # checkpointed emit blocks, same as the old shape
+                    n_success = int(
+                        emitted.agg(
+                            F.sum(F.col("success").cast("long")).alias("ok")
+                        ).collect()[0]["ok"]
+                        or 0
+                    )
+                    self._pages_crawled += n_success
+                    self._metrics.append(
+                        {
+                            "round": round_no,
+                            "strategy": "bfs",
+                            "fetched": n_round,
+                            "succeeded": n_success,
+                            "pages_crawled": self._pages_crawled,
+                            "t": t,
+                        }
+                    )
+                self._emit_count += n_round
                 frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
                 n_frontier = 0
                 round_no += 1
@@ -649,7 +689,7 @@ class CrawlEngine:
                 carry = ()
             t0 = time.time()
             cand = self._discover_candidates(
-                parents, carry=carry, n_parents_hint=int(stats["n"]),
+                parents, carry=carry, n_parents_hint=n_round,
             )
             cand = seen.anti_join(cand, "norm_url")
             # first-occurrence dedupe within the level == the reference's
@@ -716,7 +756,7 @@ class CrawlEngine:
             # the exact global rank (same order as a single-partition
             # window) AND the next frontier's row count — no sampling
             # pass, no re-checkpoint + count job at the next loop top.
-            n_emit = int(stats["n"])
+            n_emit = n_round
             emit_base = self._emit_count
             n_parts = self.spark.sparkContext.defaultParallelism
             # more buckets than partitions: hash(small int) % P collides
@@ -736,12 +776,52 @@ class CrawlEngine:
             )
             if spec.max_pages == math.inf:
                 seen.add(shuffled.select(F.col("norm_url").alias("url")))
-            bcounts = {
-                r["__b"]: r["cnt"]
-                for r in shuffled.groupBy("__b")
-                .agg(F.count("*").alias("cnt"))
-                .collect()
-            }
+            if fuse_stats:
+                # ONE collect serves the round's two scalars/maps: the
+                # per-bucket counts (rank offsets + next frontier size)
+                # and the emit success sum — both read already-pinned
+                # checkpoint blocks, so the crossJoin costs nothing over
+                # the bucket-count job it rides on.
+                fused_rows = (
+                    shuffled.groupBy("__b")
+                    .agg(F.count("*").alias("cnt"))
+                    .crossJoin(
+                        emitted.agg(
+                            F.sum(F.col("success").cast("long")).alias("ok")
+                        )
+                    )
+                    .collect()
+                )
+                bcounts = {r["__b"]: r["cnt"] for r in fused_rows}
+                if fused_rows:
+                    n_success = int(fused_rows[0]["ok"] or 0)
+                else:
+                    # empty discovery ⇒ the crossJoin produced no rows;
+                    # the success sum needs its own small agg
+                    n_success = int(
+                        emitted.agg(
+                            F.sum(F.col("success").cast("long")).alias("ok")
+                        ).collect()[0]["ok"]
+                        or 0
+                    )
+                self._pages_crawled += n_success
+                self._metrics.append(
+                    {
+                        "round": round_no,
+                        "strategy": "bfs",
+                        "fetched": n_round,
+                        "succeeded": n_success,
+                        "pages_crawled": self._pages_crawled,
+                        "t": t,
+                    }
+                )
+            else:
+                bcounts = {
+                    r["__b"]: r["cnt"]
+                    for r in shuffled.groupBy("__b")
+                    .agg(F.count("*").alias("cnt"))
+                    .collect()
+                }
             t["discover"] = round(time.time() - t0, 3)
             n_next = sum(bcounts.values())
             offsets, acc = {}, 0

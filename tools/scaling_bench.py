@@ -127,6 +127,24 @@ def main():
             c_hi.append(run_level(8, sf_dir, cross_env))
         cross = pairings(c_lo, c_hi)
 
+    # Quota-relative efficiency: every local[M] Arrow-UDF crawl stage
+    # drives ~2M processes (M JVM task threads + M python workers), so
+    # the N=1 vs 4N=4 pair consumes 2 vs 8 processes of box CPU.  The
+    # same-day probe measures how much aggregate CPU the box's cgroup
+    # quota actually delivers between those counts — on a contended day
+    # that ratio itself drops well below 4x, capping raw efficiency for
+    # ANY engine.  eff_quota_rel = raw speedup / delivered-CPU ratio is
+    # the box-independent number (on a real cluster executors own their
+    # cores and the denominator is 4).
+    probe_by = {p["procs"]: p["iters_per_sec"] for p in probe}
+    quota_ratio = (
+        probe_by[2 * 4 * n] / probe_by[2 * n]
+        if probe_by.get(2 * n) and probe_by.get(2 * 4 * n)
+        else None
+    )
+    eff_quota_rel = (
+        round(eff * 4 / quota_ratio, 3) if quota_ratio else None
+    )
     lo_best = max(lo_runs, key=lambda r: r["urls_per_sec"])
     hi_best = max(hi_runs, key=lambda r: r["urls_per_sec"])
     result = {
@@ -136,6 +154,10 @@ def main():
         "urls_per_sec_n": statistics.median(main_pair["runs_n"]),
         "urls_per_sec_4n": statistics.median(main_pair["runs_4n"]),
         "efficiency": eff,
+        "quota_cpu_ratio_2_to_8_procs": round(quota_ratio, 3)
+        if quota_ratio
+        else None,
+        "efficiency_quota_relative": eff_quota_rel,
         "pairings": main_pair,
         "cross_check_2_8": cross,
         "reps": reps,
@@ -144,6 +166,11 @@ def main():
         "bench_n": lo_best,
         "bench_4n": hi_best,
     }
+    # append-only measurement history (every run, raw + probe context)
+    with open(ROOT / "BENCH_SCALING_HISTORY.jsonl", "a") as fh:
+        fh.write(json.dumps(
+            {k: v for k, v in result.items() if k not in ("bench_n", "bench_4n")}
+        ) + "\n")
     probe_tbl = "\n".join(
         f"| {p['procs']} | {p['iters_per_sec']} | {p['scale_vs_linear']} |"
         for p in probe
@@ -199,7 +226,22 @@ def main():
         f"**Scaling efficiency (median per-pair) = {eff}**\n"
         f"(level-median pairing {main_pair['eff_level_median']}, "
         f"best-case {main_pair['eff_best']}, worst-case "
-        f"{main_pair['eff_worst']})\n"
+        f"{main_pair['eff_worst']})\n\n"
+        "## Quota-relative efficiency (same-day box ceiling)\n\n"
+        "The crawl drives ~2M processes at local[M] (JVM tasks + python\n"
+        "workers): the N=1 vs 4N=4 pair consumes 2 vs 8 procs.  The\n"
+        "probe above measures how much aggregate CPU the box actually\n"
+        "delivers between those counts on THIS run's day — on a\n"
+        "contended day that is itself well below 4x, capping raw\n"
+        "efficiency for any engine.  On a real cluster each executor\n"
+        "owns its cores and the denominator is 4.\n\n"
+        f"Delivered-CPU ratio 2→8 procs (same-day probe): "
+        f"**{round(quota_ratio, 3) if quota_ratio else 'n/a'}** "
+        "(4.0 = uncontended)\n\n"
+        f"**Quota-relative efficiency = {eff_quota_rel}** "
+        "(raw speedup / delivered-CPU ratio)\n\n"
+        "Full per-run history (every invocation, raw + probe):\n"
+        "`BENCH_SCALING_HISTORY.jsonl`\n"
         f"{cross_md}\n"
         f"Raw: `{json.dumps({k: v for k, v in result.items() if k not in ('bench_n', 'bench_4n', 'cpu_probe')})}`\n"
     )
