@@ -563,6 +563,50 @@ def q_ann_lsh_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_similarity_topk(spark, sf_dir):
+    """Suite query: brute-force cosine top-k (the exactness baseline)
+    UNION the LSH-bucketed ANN top-k (the scale path), tagged by
+    method — one registry row covering both single-query similarity
+    operators with the same hard oracles (registry policy, VERDICT r2
+    #1: merge related singletons to keep the registry at 50)."""
+    brute = q_cosine_topk(spark, sf_dir).select(
+        F.lit("brute").alias("method"), "vec_id", "cos_sim"
+    )
+    ann = q_ann_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "vec_id", "cos_sim"
+    )
+    return brute.unionByName(ann)
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Image near-duplicate pairs: EXACT hamming ≤ 3 matching over the
+    input table's perceptual-hash column (input_hint: phash:int64) via
+    Manku block-permutation banding (images.py:phash_near_dup — the
+    image analog of MinHash LSH, guaranteed recall by pigeonhole).
+
+    The synthetic phash column is md5-deterministic and SQL-expressible:
+    groups of 4 ids share a 60-bit base hash with 0/1/2/3 fixed bits
+    flipped, so intra-group pairs are near dups at hamming ≤ 3 and the
+    DuckDB oracle can brute-force the exact same pair set."""
+    from crawl4ai_spark.functions.images import phash_near_dup
+
+    du = _docs(spark, sf_dir)
+    g = F.floor(F.col("doc_id") / 4).cast("long")
+    base = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ph:"), g.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    # member m of a group flips bits {}, {3}, {3,17}, {3,17,41}
+    masks = F.array(*[F.lit(v).cast("long") for v in
+                      (0, 8, 131080, 2199023386632)])
+    m = (F.col("doc_id") % 4).cast("int")
+    tbl = du.select(
+        F.col("doc_id").alias("image_id"),
+        base.bitwiseXOR(F.element_at(masks, m + 1)).alias("phash"),
+    )
+    return phash_near_dup(tbl, max_hamming=3, n_bits=60, key_blocks=1)
+
+
 def q_knn_join(spark, sf_dir):
     """Batch exact k-NN join: each query row gets its cosine top-k from
     the corpus (broadcast queries × corpus scan → per-query window)."""
@@ -1151,6 +1195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "adaptive_rank_links": q_adaptive_rank_links,
         # --- new / changed this round ---
+        "phash_near_dup": q_phash_near_dup,
+        "similarity_topk": q_similarity_topk,
         "wayback_urls": q_wayback_urls,
         "crt_hosts": q_crt_hosts,
         "lsh_self_join": q_lsh_self_join,
@@ -1161,7 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "url_relevance": q_url_relevance,
         "ann_knn_join": q_ann_knn_join,
-        "ann_lsh_topk": q_ann_lsh_topk,
+        # cosine_topk + ann_lsh_topk merged into similarity_topk (one row,
+        # same oracles unioned) to stay at 50 with phash_near_dup added
         "total_score": q_total_score,
         # --- stable, driver-green in r2 ---
         "normalize_urls_full": q_normalize_urls_full,
@@ -1182,7 +1229,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
-        "cosine_topk": q_cosine_topk,
         "knn_join": q_knn_join,
         "embedding_coverage": q_embedding_coverage,
         "image_validation": q_image_validation,
@@ -1665,8 +1711,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 5
         """,
-        "ann_lsh_topk": f"""
-            WITH v AS (
+        # cosine_topk + ann_lsh_topk oracles, unioned under a method tag
+        # (mirrors q_similarity_topk's union of the two operators)
+        "similarity_topk": f"""
+            WITH brute AS (
+              SELECT 'brute' AS method, vec_id,
+                     round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)
+                     ), 6) AS cos_sim
+              FROM embeddings
+              ORDER BY cos_sim DESC, vec_id ASC
+              LIMIT 10
+            ),
+            v AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
             ),
             s AS (SELECT vec_id, e, {sig_sql} AS sig FROM v),
@@ -1675,9 +1734,32 @@ def oracle_sql() -> dict[str, str]:
               SELECT s.vec_id, {_cos_sql('s.e', 'q.qe')} AS raw_cos
               FROM s CROSS JOIN q
               WHERE {ann_probe_pred}
+            ),
+            lsh AS (
+              SELECT 'lsh' AS method, vec_id, round(raw_cos, 6) AS cos_sim
+              FROM cand ORDER BY raw_cos DESC, vec_id ASC LIMIT 10
             )
-            SELECT vec_id, round(raw_cos, 6) AS cos_sim
-            FROM cand ORDER BY raw_cos DESC, vec_id ASC LIMIT 10
+            SELECT * FROM brute UNION ALL SELECT * FROM lsh
+        """,
+        # brute-force hamming self-join over the same md5-deterministic
+        # 60-bit phash column q_phash_near_dup synthesises; the Spark
+        # side's Manku banding has guaranteed recall, so the pair sets
+        # are identical, not just approximately equal
+        "phash_near_dup": """
+            WITH t AS (
+              SELECT doc_id AS image_id,
+                     xor(CAST('0x' || substr(md5('ph:' ||
+                           CAST(doc_id // 4 AS VARCHAR)), 1, 15) AS BIGINT),
+                         CASE CAST(doc_id % 4 AS INT)
+                           WHEN 0 THEN 0 WHEN 1 THEN 8
+                           WHEN 2 THEN 131080 ELSE 2199023386632 END
+                     ) AS phash
+              FROM documents
+            )
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM t a JOIN t b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
         """,
         "simhash": f"""
             WITH toks AS (
@@ -1910,16 +1992,6 @@ def oracle_sql() -> dict[str, str]:
               + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
               AS img_score
             FROM documents
-        """,
-        "cosine_topk": """
-            SELECT vec_id,
-                   round(list_cosine_similarity(
-                     CAST(embedding AS DOUBLE[]),
-                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
-                   ), 6) AS cos_sim
-            FROM embeddings
-            ORDER BY cos_sim DESC, vec_id ASC
-            LIMIT 10
         """,
         "knn_join": """
             WITH q AS (

@@ -26,7 +26,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -382,4 +382,130 @@ def image_score(
         + one(F.lower(fmt).isin(*KNOWN_FORMATS))
         + one(has_srcset)
         + one(in_picture)
+    )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-duplicate join (image analog of MinHash LSH)
+# ---------------------------------------------------------------------------
+
+
+def _phash_blocks(n_bits: int, blocks: int) -> list[tuple[int, int]]:
+    """Contiguous (lo_bit, width) ranges splitting ``n_bits`` into
+    ``blocks`` near-equal pieces (remainder spread over the low blocks)."""
+    widths = [
+        n_bits // blocks + (1 if i < n_bits % blocks else 0)
+        for i in range(blocks)
+    ]
+    out, lo = [], 0
+    for w in widths:
+        out.append((lo, w))
+        lo += w
+    return out
+
+
+def phash_near_dup(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 4,
+    n_bits: int = 64,
+    blocks: int | None = None,
+    key_blocks: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """EXACT hamming-distance near-duplicate pairs over a perceptual
+    hash column — the image-payload analog of MinHash LSH, with
+    guaranteed (not probabilistic) recall.
+
+    Block-permutation scheme (Manku, Jain & Das Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW'07 — the simhash dedup
+    Google ran at crawl scale): split the ``n_bits`` hash into
+    ``blocks`` contiguous blocks; two hashes within ``max_hamming``
+    differ in at most ``max_hamming`` blocks, so they AGREE on at
+    least ``blocks - max_hamming`` blocks — hence any
+    ``key_blocks``-subset of blocks used as an equi-join key finds
+    every true pair as long as ``blocks - key_blocks >= max_hamming``
+    (pigeonhole).  Each row emits C(blocks, key_blocks) (table, key)
+    rows; candidates sharing a (table, key) are confirmed with
+    ``bit_count(a XOR b) <= max_hamming`` — both JVM Column ops, so
+    the only Python in the pipeline is plan construction.
+
+    The scale dial is the key width ``key_blocks * n_bits / blocks``:
+
+    * ``key_blocks=1`` (default, ``blocks = max_hamming+1``) is the
+      plain banding pigeonhole — cheapest explode (``blocks`` rows per
+      image) but a ~13-bit key: fine up to ~10^6 images, quadratic
+      inside 2^13 buckets beyond that.
+    * At 10^10 images use e.g. ``blocks=8, key_blocks=4`` (k<=4): a
+      32-bit join key -> expected bucket size 10^10/2^32 ~ 2.3, at the
+      price of a C(8,4)=70-row explode — Manku's exact table/key-width
+      tradeoff.  The shuffle carries (table:int, key:long, id, phash)
+      only.
+
+    ``max_bucket_size`` mirrors ``minhash_lsh_pairs``: opt-in drop of
+    degenerate buckets (e.g. the all-zero phash of blank images) from
+    BOTH join sides before the quadratic step; None keeps exact
+    semantics.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, deduped across
+    tables.
+    """
+    from itertools import combinations
+
+    if blocks is None:
+        blocks = max_hamming + key_blocks
+    if blocks - key_blocks < max_hamming:
+        raise ValueError(
+            f"exact recall needs blocks - key_blocks >= max_hamming "
+            f"({blocks} - {key_blocks} < {max_hamming})"
+        )
+    combos = list(combinations(range(blocks), key_blocks))
+    if len(combos) > 256:
+        raise ValueError(
+            f"C({blocks},{key_blocks}) = {len(combos)} tables; cap is 256 "
+            "(raise blocks/key_blocks more gently)"
+        )
+    ranges = _phash_blocks(n_bits, blocks)
+    ph = F.col(phash_col)
+
+    def block_val(b: int) -> Column:
+        lo, w = ranges[b]
+        return F.shiftrightunsigned(ph, lo).bitwiseAND(F.lit((1 << w) - 1))
+
+    tables = []
+    for t, combo in enumerate(combos):
+        key = F.lit(0).cast("long")
+        for b in combo:
+            _, w = ranges[b]
+            key = F.shiftleft(key, w).bitwiseOR(block_val(b))
+        tables.append(F.struct(F.lit(t).alias("tbl"), key.alias("key")))
+
+    keyed = images.select(
+        F.col(id_col),
+        ph.alias("__ph"),
+        F.explode(F.array(*tables)).alias("tk"),
+    ).select(id_col, "__ph", "tk.tbl", "tk.key")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("tbl", "key")
+        keyed = keyed.withColumn("__bsz", F.count("*").over(w)).filter(
+            F.col("__bsz") <= max_bucket_size
+        ).drop("__bsz")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.__ph").bitwiseXOR(F.col("b.__ph"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -162,3 +162,97 @@ def test_sample_frames_real_codec_stubbed(spark):
     )
     with _pytest.raises(Exception, match="NotImplementedError|fakevid|codec"):
         sample_frames(df).collect()
+
+
+# ---------------------------------------------------------------------------
+# phash near-dup join (Manku block-permutation banding, exact recall)
+# ---------------------------------------------------------------------------
+
+
+def _i64(x):
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _brute_pairs(rows, max_hamming):
+    out = set()
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((rows[a] ^ rows[b]) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                out.add((a, b, d))
+    return out
+
+
+def _phash_df(spark, hashes):
+    return spark.createDataFrame(
+        [(k, v) for k, v in hashes.items()], "image_id string, phash long"
+    )
+
+
+def test_phash_near_dup_matches_brute_force(spark):
+    from crawl4ai_spark.functions.images import phash_near_dup
+
+    # real phash values from the synthetic image table, plus perturbed
+    # copies 1-3 bits away (near dups) and untouched far rows
+    base = {r["image_id"]: r["phash"] for r in
+            build_images(spark, 25).select("image_id", "phash").collect()}
+    hashes = dict(base)
+    for j, (iid, h) in enumerate(sorted(base.items())[:8]):
+        flip = 0
+        for b in range(j % 3 + 1):
+            flip |= 1 << ((7 * j + 13 * b + 1) % 64)
+        hashes[f"{iid}-dup"] = _i64(h ^ flip)
+    expect = _brute_pairs(hashes, 4)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_near_dup(_phash_df(spark, hashes), max_hamming=4).collect()
+    }
+    assert got == expect
+    assert len(got) >= 8  # every perturbed copy found
+
+
+def test_phash_near_dup_manku_multiblock_config(spark):
+    """blocks=6, key_blocks=2 (the wide-key scale config): same exact
+    pair set as the brute force — recall is guaranteed, not tuned."""
+    from crawl4ai_spark.functions.images import phash_near_dup
+
+    base = {r["image_id"]: r["phash"] for r in
+            build_images(spark, 20).select("image_id", "phash").collect()}
+    hashes = dict(base)
+    for j, (iid, h) in enumerate(sorted(base.items())[:6]):
+        hashes[f"{iid}-dup"] = _i64(h ^ (1 << (11 * j % 64)) ^ (1 << ((11 * j + 29) % 64)))
+    expect = _brute_pairs(hashes, 4)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_near_dup(
+            _phash_df(spark, hashes), max_hamming=4, blocks=6, key_blocks=2
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_phash_near_dup_rejects_lossy_config():
+    from crawl4ai_spark.functions.images import phash_near_dup
+
+    with pytest.raises(ValueError):
+        phash_near_dup(None, max_hamming=4, blocks=4, key_blocks=1)
+    with pytest.raises(ValueError):
+        phash_near_dup(None, max_hamming=8, blocks=16, key_blocks=8)
+
+
+def test_phash_near_dup_bucket_cap_drops_degenerate(spark):
+    """An all-identical cluster (e.g. blank images) exceeds the cap and
+    is dropped from the join; distinct hashes are unaffected."""
+    from crawl4ai_spark.functions.images import phash_near_dup
+
+    hashes = {f"blank-{i}": 0 for i in range(12)}
+    hashes["a"] = (1 << 5) | (1 << 33) | (1 << 40) | (1 << 50)
+    hashes["b"] = _i64(hashes["a"] | (1 << 63))
+    df = _phash_df(spark, hashes)
+    capped = phash_near_dup(df, max_hamming=2, max_bucket_size=8).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert got == {("a", "b")}
+    uncapped = phash_near_dup(df, max_hamming=2).count()
+    assert uncapped == 12 * 11 // 2 + 1
