@@ -484,8 +484,12 @@ def q_text_stats_suite(spark, sf_dir):
 
 
 def q_minhash_signature(spark, sf_dir):
+    """Universal-family minhash (dedup.uhash_params): the DuckDB oracle
+    embeds the same (a, b) literals and md5-derived 32-bit base, so the
+    fast arithmetic path — not just the md5-per-permutation compat
+    family — is the value-verified one."""
     sig = D.minhash_signature(
-        _docs(spark, sf_dir), num_hashes=8, shingle_n=3
+        _docs(spark, sf_dir), num_hashes=8, shingle_n=3, hash_family="universal"
     )
     cols = [F.element_at("sig", h + 1).alias(f"m{h}") for h in range(8)]
     return sig.select("doc_id", *cols)
@@ -521,12 +525,15 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH candidate pairs confirmed by exact Jaccard ≥ 0.2.
-    The md5 permutations and band hashes are fully deterministic, so
-    the DuckDB oracle re-derives the exact same band → bucket → pair
-    set and confirms with the same exact-Jaccard filter (uncapped:
-    ``max_bucket_size=None`` preserves reference semantics)."""
+    The universal-family permutations and band hashes are fully
+    deterministic, so the DuckDB oracle re-derives the exact same
+    band → bucket → pair set and confirms with the same exact-Jaccard
+    filter (uncapped: ``max_bucket_size=None`` preserves reference
+    semantics)."""
     docs = _docs(spark, sf_dir)
-    sig = D.minhash_signature(docs, num_hashes=16, shingle_n=3)
+    sig = D.minhash_signature(
+        docs, num_hashes=16, shingle_n=3, hash_family="universal"
+    )
     pairs = D.minhash_lsh_pairs(sig, bands=4, rows_per_band=4, max_bucket_size=None)
     j = D.jaccard_pairs(docs, pairs)
     return j.filter(F.col("jaccard") >= 0.2).select(
@@ -1257,18 +1264,21 @@ def oracle_sql() -> dict[str, str]:
         simhash_bits.append(f"CASE WHEN {vote} > 0 THEN {2**i} ELSE 0 END")
     simhash_expr = " + ".join(simhash_bits)
 
-    minhash_mins = ", ".join(
-        "MIN({expr}) AS m{h}".format(
-            expr=_md5long_sql("'h{h}:' || shingle".format(h=h)), h=h
+    # universal affine family (dedup.uhash_params): ONE md5 per shingle
+    # → 32-bit base, k affine mixes mod 2^61−1 — the scale path, and the
+    # (a, b) literals are identical integers on both engines
+    from crawl4ai_spark.functions.dedup import _UHASH_P, uhash_params
+
+    _ubase = "CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT)"
+
+    def _umins(num_hashes: int) -> str:
+        return ", ".join(
+            f"MIN(({a} * {_ubase} + {b}) % {_UHASH_P}) AS m{h}"
+            for h, (a, b) in enumerate(uhash_params(num_hashes))
         )
-        for h in range(8)
-    )
-    minhash_mins16 = ", ".join(
-        "MIN({expr}) AS m{h}".format(
-            expr=_md5long_sql("'h{h}:' || shingle".format(h=h)), h=h
-        )
-        for h in range(16)
-    )
+
+    minhash_mins = _umins(8)
+    minhash_mins16 = _umins(16)
     # band bucket = md5 of the comma-joined 4-slice of the signature
     # (mirrors dedup._band_buckets' concat_ws over long columns)
     lsh_band_selects = "\n              UNION ALL ".join(

@@ -272,23 +272,43 @@ def main() -> None:
     # on a tiny slice so q4/q4b time the operator, not whole-stage
     # codegen of a first-seen plan (same rule as the crawl warmup)
     warm_docs = docs.limit(64)
-    D.minhash_lsh_pairs(
-        D.minhash_signature(warm_docs, num_hashes=16, shingle_n=3),
-        bands=4, rows_per_band=4, max_bucket_size=1000,
-    ).count()
+    for fam in ("universal", "md5"):
+        D.minhash_lsh_pairs(
+            D.minhash_signature(
+                warm_docs, num_hashes=16, shingle_n=3, hash_family=fam
+            ),
+            bands=4, rows_per_band=4, max_bucket_size=1000,
+        ).count()
 
     def lsh():
-        sig = D.minhash_signature(docs, num_hashes=16, shingle_n=3)
+        # universal affine family — the scale path the contract query
+        # value-verifies (one md5 per shingle + k codegen'd mixes)
+        sig = D.minhash_signature(
+            docs, num_hashes=16, shingle_n=3, hash_family="universal"
+        )
         pairs = D.minhash_lsh_pairs(sig, bands=4, rows_per_band=4)
         return pairs.count()
 
     extras["lsh_pairs"] = timed("minhash_lsh", lsh)
 
+    # md5-per-permutation compat family, same plan shape — kept as a
+    # bench line so the family swap's cost delta stays observable
+    def lsh_md5():
+        sig = D.minhash_signature(
+            docs, num_hashes=16, shingle_n=3, hash_family="md5"
+        )
+        pairs = D.minhash_lsh_pairs(sig, bands=4, rows_per_band=4)
+        return pairs.count()
+
+    extras["lsh_pairs_md5"] = timed("minhash_lsh_md5", lsh_md5)
+
     # same query WITH the scale cap (max_bucket_size) — recorded so the
     # cap-window cost is observable next to the uncapped reference
     # semantics (VERDICT r2 #10)
     def lsh_capped():
-        sig = D.minhash_signature(docs, num_hashes=16, shingle_n=3)
+        sig = D.minhash_signature(
+            docs, num_hashes=16, shingle_n=3, hash_family="universal"
+        )
         pairs = D.minhash_lsh_pairs(
             sig, bands=4, rows_per_band=4, max_bucket_size=1000
         )

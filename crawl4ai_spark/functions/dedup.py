@@ -31,6 +31,25 @@ def md5_prefix_long(c: Column, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
 
 
+_UHASH_P = (1 << 61) - 1  # Mersenne prime modulus for the affine family
+
+
+def uhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the universal affine hash
+    family h_i(x) = (a_i·x + b_i) mod p.  Derived from md5 of the index
+    so every runtime (Spark plan literal, DuckDB oracle literal, pytest)
+    embeds identical integers.  a < 2^28 (odd) and the 32-bit base keep
+    a·x + b < 2^62 — no 64-bit overflow on either engine."""
+    import hashlib
+
+    out = []
+    for h in range(num_hashes):
+        a = int(hashlib.md5(f"a{h}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"b{h}".encode()).hexdigest()[:15], 16) % _UHASH_P
+        out.append((a, b))
+    return out
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min key) per identical text.
 
@@ -63,21 +82,41 @@ def minhash_signature(
     key_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """(key, sig array<long>): sig[h] = min over shingles of
-    md5(h || shingle).  md5-per-permutation is slower than one xxhash +
-    arithmetic permutations but verifiable in DuckDB; swap the hash
-    family at real scale (same plan shape)."""
+    """(key, sig array<long>): sig[h] = min over shingles of the h-th
+    permutation hash.  Two families, same plan shape, both DuckDB-exact:
+
+    * ``"md5"`` (compat default): md5("h{h}:" || shingle) per
+      permutation — k full digests per shingle.
+    * ``"universal"`` (the scale path): ONE md5 per shingle → 32-bit
+      base, then k affine mixes (a_h·base + b_h) mod (2^61−1) — pure
+      codegen'd long arithmetic, ~k× fewer digest passes; the standard
+      universal-hash minhash construction (Broder, "On the resemblance
+      and containment of documents", 1997).
+    """
     ex = docs.select(
         F.col(key_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias(
             "shingle"
         ),
     )
-    mins = [
-        F.min(md5_prefix_long(F.col("shingle"), salt=f"h{h}:")).alias(f"m{h}")
-        for h in range(num_hashes)
-    ]
+    if hash_family == "universal":
+        base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+        ex = ex.withColumn("__base", base)
+        mins = [
+            F.min(
+                (F.lit(a) * F.col("__base") + F.lit(b)) % F.lit(_UHASH_P)
+            ).alias(f"m{h}")
+            for h, (a, b) in enumerate(uhash_params(num_hashes))
+        ]
+    elif hash_family == "md5":
+        mins = [
+            F.min(md5_prefix_long(F.col("shingle"), salt=f"h{h}:")).alias(f"m{h}")
+            for h in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family}")
     agg = ex.groupBy(key_col).agg(*mins)
     return agg.select(
         key_col, F.array(*[F.col(f"m{h}") for h in range(num_hashes)]).alias("sig")

@@ -358,7 +358,9 @@ def url_hash(url_col: Column | str) -> Column:
     JVM-side xxhash64 — stays in whole-stage codegen; the reference's
     bloom prototype uses mmh3 (deep_crawling/crazy.py:122-131) but any
     stable 64-bit hash satisfies the same contract with lower collision
-    rate than murmur3-32.
+    rate than murmur3-32.  For exact mmh3 digest parity use
+    ``functions.hashing.murmur3_udf`` (vectorized Arrow batch, tested
+    bit-exact vs mmh3 vectors) or ``BloomSegments(hash_family="murmur3")``.
     """
     return F.xxhash64(url_col)
 

@@ -48,6 +48,14 @@ def optimal_m_k(capacity: int, fp_rate: float) -> tuple[int, int]:
     return m, k
 
 
+def optimal_m_k_reference(capacity: int, fp_rate: float) -> tuple[int, int]:
+    """The reference's EXACT m/k (crazy.py:112-120: np.ceil both) — used
+    by the murmur3 parity family so bit arrays byte-match the prototype."""
+    m = int(math.ceil(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
+    k = int(math.ceil(m / max(capacity, 1) * math.log(2)))
+    return max(m, 1), max(k, 1)
+
+
 def _positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
     """(n, k) bit positions via double hashing on uint64."""
     h = hashes.astype(np.uint64)
@@ -69,10 +77,24 @@ class BloomSegments:
         n_segments: int = 32,
         capacity_per_segment: int = 1 << 16,
         fp_rate: float = 0.01,
+        hash_family: str = "xxhash64",
     ):
         self.spark = spark
         self.S = n_segments
-        self.m, self.k = optimal_m_k(capacity_per_segment, fp_rate)
+        # hash_family="murmur3" is the reference-parity mode: bit
+        # positions are mmh3.hash(url, seed) % m for seed in 0..k-1 and
+        # m/k use the prototype's ceil math, so each segment sets the
+        # exact bit indices crazy.py's BloomFilter would for the same
+        # item set (byte layout here is little-endian-bit packing).
+        # "xxhash64" (default) stays JVM-side + Kirsch–Mitzenmacher —
+        # one hash per row instead of k.
+        if hash_family not in ("xxhash64", "murmur3"):
+            raise ValueError(f"unknown hash_family: {hash_family}")
+        self.hash_family = hash_family
+        if hash_family == "murmur3":
+            self.m, self.k = optimal_m_k_reference(capacity_per_segment, fp_rate)
+        else:
+            self.m, self.k = optimal_m_k(capacity_per_segment, fp_rate)
         self._segments: DataFrame | None = None  # (seg, bits, n_items)
 
     # -- hashing --------------------------------------------------------------
@@ -83,16 +105,36 @@ class BloomSegments:
             "__seg", F.pmod(h, F.lit(self.S)).cast("int")
         )
 
+    def _batch_positions(self, pdf: pd.DataFrame, url_col: str) -> np.ndarray:
+        """(n, k) bit positions for one Arrow batch, per hash family."""
+        if self.hash_family == "murmur3":
+            from crawl4ai_spark.functions.hashing import murmur3_positions
+
+            return murmur3_positions(pdf[url_col].tolist(), self.m, self.k)
+        return _positions(pdf["__h"].to_numpy(np.uint64), self.m, self.k)
+
     # -- build / merge ----------------------------------------------------------
+
+    def _pos_fn(self, url_col: str):
+        """Serializable (pdf -> (n, k) positions) closure — captures the
+        family/m/k scalars, never ``self`` (which holds the session)."""
+        m, k, family = self.m, self.k, self.hash_family
+        if family == "murmur3":
+            from crawl4ai_spark.functions.hashing import murmur3_positions
+
+            return lambda pdf: murmur3_positions(pdf[url_col].tolist(), m, k)
+        return lambda pdf: _positions(pdf["__h"].to_numpy(np.uint64), m, k)
 
     def add(self, urls: DataFrame, url_col: str = "url") -> None:
         m, k = self.m, self.k
         n_bytes = (m + 7) // 8
+        positions = self._pos_fn(url_col)
+        carry = ["__seg", url_col] if self.hash_family == "murmur3" else ["__seg", "__h"]
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             seg = int(pdf["__seg"].iloc[0])
             bits = np.zeros(n_bytes, dtype=np.uint8)
-            pos = _positions(pdf["__h"].to_numpy(np.uint64), m, k).ravel()
+            pos = positions(pdf).ravel()
             np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
             return pd.DataFrame(
                 [{"seg": seg, "bits": bits.tobytes(), "n_items": len(pdf)}]
@@ -100,7 +142,7 @@ class BloomSegments:
 
         new = (
             self.with_seg(urls, url_col)
-            .select("__seg", "__h")
+            .select(*carry)
             .groupBy("__seg")
             .applyInPandas(build, SEGMENT_SCHEMA)
         )
@@ -160,11 +202,11 @@ class BloomSegments:
         """candidates + boolean ``maybe_seen`` (False ⇒ definitely new)."""
         if self._segments is None:
             return candidates.withColumn("maybe_seen", F.lit(False))
-        m, k = self.m, self.k
         cand = self.with_seg(candidates, url_col)
         out_schema = T.StructType(
             cand.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
         )
+        positions = self._pos_fn(url_col)
 
         def check(cand_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
             if cand_pdf.empty:
@@ -172,7 +214,7 @@ class BloomSegments:
             if seg_pdf.empty:
                 return cand_pdf.assign(maybe_seen=False)
             bits = np.frombuffer(seg_pdf["bits"].iloc[0], dtype=np.uint8)
-            pos = _positions(cand_pdf["__h"].to_numpy(np.uint64), m, k)
+            pos = positions(cand_pdf)
             hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
             return cand_pdf.assign(maybe_seen=hit.all(axis=1))
 
@@ -195,11 +237,14 @@ class BloomSeenStore:
         n_segments: int = 32,
         capacity_per_segment: int = 1 << 16,
         fp_rate: float = 0.01,
+        hash_family: str = "xxhash64",
     ):
         from crawl4ai_spark.operators.seen import SeenStore
 
         self.spark = spark
-        self.bloom = BloomSegments(spark, n_segments, capacity_per_segment, fp_rate)
+        self.bloom = BloomSegments(
+            spark, n_segments, capacity_per_segment, fp_rate, hash_family
+        )
         self.exact = SeenStore(spark)
         self.stats = {"probed": 0, "maybe": 0}
 

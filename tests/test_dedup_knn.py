@@ -100,3 +100,48 @@ def test_lsh_knn_join_recall(spark, vectors):
         key = (r["query_id"], r["vec_id"])
         if key in ex_scores:
             assert r["cos_sim"] == pytest.approx(ex_scores[key])
+
+
+def test_universal_family_matches_python_mirror(spark, degenerate_docs):
+    """The universal affine family must be bit-reproducible outside
+    Spark (same md5 base, same (a, b) literals) — that determinism is
+    what the DuckDB oracle relies on."""
+    import hashlib
+
+    from crawl4ai_spark.functions.dedup import _UHASH_P, uhash_params
+
+    docs = degenerate_docs.filter(F.col("doc_id").isin(100, 101, 200))
+    sig = {
+        r["doc_id"]: r["sig"]
+        for r in D.minhash_signature(
+            docs, num_hashes=8, shingle_n=3, hash_family="universal"
+        ).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    params = uhash_params(8)
+    for doc_id, text in texts.items():
+        toks = [t for t in text.lower().strip().split() if t]
+        shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        bases = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles
+        ]
+        want = [
+            min((a * x + b) % _UHASH_P for x in bases) for a, b in params
+        ]
+        assert list(sig[doc_id]) == want, doc_id
+
+
+def test_universal_family_finds_same_near_dups(spark, degenerate_docs):
+    """Family swap changes WHICH buckets collide, not the confirmed
+    near-dup semantics: both families must surface the true pair and
+    the clone clique on this fixture."""
+    for fam in ("md5", "universal"):
+        sig = D.minhash_signature(
+            degenerate_docs, num_hashes=16, shingle_n=3, hash_family=fam
+        )
+        ids = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_lsh_pairs(sig, max_bucket_size=None).collect()
+        }
+        assert (100, 101) in ids, fam
+        assert (0, 1) in ids, fam

@@ -9,6 +9,7 @@ Usage: python tools/check_entry.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -81,7 +82,8 @@ def main():
     import __spark_entry__ as entry
     from crawl4ai_spark.session import get_spark
 
-    spark = get_spark("check_entry", cpus=8, shuffle_partitions=8)
+    cpus = int(os.environ.get("CHECK_CPUS", "8"))
+    spark = get_spark("check_entry", cpus=cpus, shuffle_partitions=cpus)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
