@@ -163,6 +163,29 @@ def main() -> None:
         res = eng.run(seed_src if seed_src is not None else seeds)
         return res.count()
 
+    if _SCALING and os.environ.get("BENCH_SERVE") == "1":
+        # tight-interleave worker (tools/scaling_tight.py): run ONE crawl
+        # per "crawl" line on stdin, print one JSON line per crawl.  The
+        # orchestrator holds a local[N] and a local[4N] worker open at
+        # once and alternates single crawls, so each efficiency pair is
+        # adjacent in time — slow box-contention drift cancels inside the
+        # pair instead of hitting the two levels minutes apart.
+        print(json.dumps({
+            "ready": True, "cpus": CPUS,
+            "corpus_pages": n_corpus, "seeds": len(seeds),
+        }), flush=True)
+        for line in sys.stdin:
+            if line.strip() != "crawl":
+                break
+            t0 = time.time()
+            n_emitted = bfs()
+            wall = round(time.time() - t0, 3)
+            print(json.dumps({
+                "wall_s": wall, "urls": n_emitted,
+                "urls_per_sec": round(n_emitted / wall, 2), "cpus": CPUS,
+            }), flush=True)
+        return
+
     if _SCALING:
         # best-of-K crawls within ONE JVM, identical at both parallelism
         # levels: a 25-s 4N run is hostage to a single quota burst in a
