@@ -1264,17 +1264,16 @@ def oracle_sql() -> dict[str, str]:
         simhash_bits.append(f"CASE WHEN {vote} > 0 THEN {2**i} ELSE 0 END")
     simhash_expr = " + ".join(simhash_bits)
 
-    # universal affine family (dedup.uhash_params): ONE md5 per shingle
-    # → 32-bit base, k affine mixes mod 2^61−1 — the scale path, and the
-    # (a, b) literals are identical integers on both engines
-    from crawl4ai_spark.functions.dedup import _UHASH_P, uhash_params
-
-    _ubase = "CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT)"
+    # chunked minhash family (dedup.uhash_chunks): hash h = 32-bit
+    # chunk h%4 of md5("q{h//4}:" || shingle) — the scale path (4× less
+    # digest work), identical string/substr/hex semantics on both engines
+    from crawl4ai_spark.functions.dedup import uhash_chunks
 
     def _umins(num_hashes: int) -> str:
         return ", ".join(
-            f"MIN(({a} * {_ubase} + {b}) % {_UHASH_P}) AS m{h}"
-            for h, (a, b) in enumerate(uhash_params(num_hashes))
+            "MIN(CAST('0x' || substr(md5('{salt}' || shingle), {pos}, 8) "
+            "AS BIGINT)) AS m{h}".format(salt=salt, pos=off + 1, h=h)
+            for h, (salt, off) in enumerate(uhash_chunks(num_hashes))
         )
 
     minhash_mins = _umins(8)

@@ -31,23 +31,15 @@ def md5_prefix_long(c: Column, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
 
 
-_UHASH_P = (1 << 61) - 1  # Mersenne prime modulus for the affine family
-
-
-def uhash_params(num_hashes: int) -> list[tuple[int, int]]:
-    """Deterministic (a, b) coefficients for the universal affine hash
-    family h_i(x) = (a_i·x + b_i) mod p.  Derived from md5 of the index
-    so every runtime (Spark plan literal, DuckDB oracle literal, pytest)
-    embeds identical integers.  a < 2^28 (odd) and the 32-bit base keep
-    a·x + b < 2^62 — no 64-bit overflow on either engine."""
-    import hashlib
-
-    out = []
-    for h in range(num_hashes):
-        a = int(hashlib.md5(f"a{h}".encode()).hexdigest()[:7], 16) | 1
-        b = int(hashlib.md5(f"b{h}".encode()).hexdigest()[:15], 16) % _UHASH_P
-        out.append((a, b))
-    return out
+def uhash_chunks(num_hashes: int) -> list[tuple[str, int]]:
+    """(salt, hex_offset) schedule for the chunked minhash family:
+    hash h = 32-bit chunk ``h % 4`` of ``md5("q{h//4}:" || shingle)``.
+    ⌈k/4⌉ digests per shingle instead of k — 4× less digest work — and
+    the chunks of a (salted) md5 are mutually independent, unlike
+    affine mixes of one shared base (an affine map with a small
+    multiplier is piecewise order-preserving, so all k "permutations"
+    would elect the same min shingle and LSH buckets degenerate)."""
+    return [(f"q{h // 4}:", (h % 4) * 8) for h in range(num_hashes)]
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
@@ -89,11 +81,11 @@ def minhash_signature(
 
     * ``"md5"`` (compat default): md5("h{h}:" || shingle) per
       permutation — k full digests per shingle.
-    * ``"universal"`` (the scale path): ONE md5 per shingle → 32-bit
-      base, then k affine mixes (a_h·base + b_h) mod (2^61−1) — pure
-      codegen'd long arithmetic, ~k× fewer digest passes; the standard
-      universal-hash minhash construction (Broder, "On the resemblance
-      and containment of documents", 1997).
+    * ``"universal"`` (the scale path): ⌈k/4⌉ salted md5 digests per
+      shingle, each split into four independent 32-bit chunks — 4×
+      less digest work for the same independent-permutation semantics
+      (one-permutation/multi-chunk minhashing in the spirit of Li,
+      Owen & Zhang, NIPS'12).
     """
     ex = docs.select(
         F.col(key_col),
@@ -102,14 +94,18 @@ def minhash_signature(
         ),
     )
     if hash_family == "universal":
-        base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
-        ex = ex.withColumn("__base", base)
-        mins = [
-            F.min(
-                (F.lit(a) * F.col("__base") + F.lit(b)) % F.lit(_UHASH_P)
-            ).alias(f"m{h}")
-            for h, (a, b) in enumerate(uhash_params(num_hashes))
-        ]
+        n_digests = (num_hashes + 3) // 4
+        for d in range(n_digests):
+            ex = ex.withColumn(
+                f"__d{d}", F.md5(F.concat(F.lit(f"q{d}:"), F.col("shingle")))
+            )
+        mins = []
+        for h, (salt, off) in enumerate(uhash_chunks(num_hashes)):
+            d = h // 4
+            val = F.conv(
+                F.substring(F.col(f"__d{d}"), off + 1, 8), 16, 10
+            ).cast("long")
+            mins.append(F.min(val).alias(f"m{h}"))
     elif hash_family == "md5":
         mins = [
             F.min(md5_prefix_long(F.col("shingle"), salt=f"h{h}:")).alias(f"m{h}")

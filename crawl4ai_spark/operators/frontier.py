@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import math
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -252,14 +253,38 @@ class CrawlEngine:
         if self.spec.strategy == "bfs":
             self._run_bfs(seeds)
         elif self.spec.strategy == "best_first":
-            self._run_bff(seeds)
+            with self._micro_plan_mode(self.spec.batch_size <= 64):
+                self._run_bff(seeds)
         elif self.spec.strategy == "dfs":
-            self._run_dfs(seeds)
+            with self._micro_plan_mode(True):
+                self._run_dfs(seeds)
         elif self.spec.strategy == "dfs_batched":
-            self._run_dfs_batched(seeds)
+            with self._micro_plan_mode(self.spec.batch_size <= 64):
+                self._run_dfs_batched(seeds)
         else:
             raise ValueError(self.spec.strategy)
         return self.results()
+
+    @contextmanager
+    def _micro_plan_mode(self, enable: bool):
+        """Micro-batch loops (strict parity: ≤ tens of rows per round,
+        dozens of rounds) are driver-job-bound, and AQE re-plans every
+        shuffle stage as its own job — measured 18.4 vs 8.2 jobs/round
+        for the identical strict best-first crawl (test_job_budget
+        methodology).  Disable AQE for the loop and restore after; the
+        big-frame paths (BFS levels, batched modes above the threshold)
+        keep AQE for partition coalescing and skew-join handling, where
+        it earns its stage jobs back."""
+        if not enable:
+            yield
+            return
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev)
 
     def results(self) -> DataFrame:
         if not self._result_parts:

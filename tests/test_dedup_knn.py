@@ -108,7 +108,7 @@ def test_universal_family_matches_python_mirror(spark, degenerate_docs):
     what the DuckDB oracle relies on."""
     import hashlib
 
-    from crawl4ai_spark.functions.dedup import _UHASH_P, uhash_params
+    from crawl4ai_spark.functions.dedup import uhash_chunks
 
     docs = degenerate_docs.filter(F.col("doc_id").isin(100, 101, 200))
     sig = {
@@ -118,15 +118,19 @@ def test_universal_family_matches_python_mirror(spark, degenerate_docs):
         ).collect()
     }
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
-    params = uhash_params(8)
+    chunks = uhash_chunks(8)
     for doc_id, text in texts.items():
         toks = [t for t in text.lower().strip().split() if t]
         shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
-        bases = [
-            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles
-        ]
         want = [
-            min((a * x + b) % _UHASH_P for x in bases) for a, b in params
+            min(
+                int(
+                    hashlib.md5((salt + s).encode()).hexdigest()[off : off + 8],
+                    16,
+                )
+                for s in shingles
+            )
+            for salt, off in chunks
         ]
         assert list(sig[doc_id]) == want, doc_id
 

@@ -63,15 +63,16 @@ def test_bff_strict_job_budget(spark, pages):
     rounds = len(eng.metrics)
     assert rounds >= 3
     jobs = _jobs_in_group(spark, "bff_budget")
-    # Fused shape measures ~9.5 jobs/round on Spark 4.1: 4 main
-    # actions (pop ckpt, emit ckpt, discovery ckpt, fused stats
+    # Fused shape + micro-plan mode (AQE off for strict loops,
+    # frontier._micro_plan_mode) measures ~8.2 jobs/round on Spark 4.1:
+    # 4 main actions (pop ckpt, emit ckpt, discovery ckpt, fused stats
     # collect) plus Spark-internal broadcast-exchange builds and
-    # localCheckpoint secondary jobs riding each action.  The r2
-    # pre-fusion shape (separate emit-stats and new-item counts,
-    # split pop/batch ckpts) lands well above this bound.
-    assert jobs <= 10 * rounds + 4, (
+    # localCheckpoint secondary jobs riding each action.  With AQE
+    # re-planning each shuffle stage as its own job the same crawl
+    # measures ~18.4/round; the r2 pre-fusion shape lands higher still.
+    assert jobs <= 9 * rounds + 4, (
         f"BFF strict submitted {jobs} jobs over {rounds} rounds — "
-        "per-round fusion regressed"
+        "per-round fusion or micro-plan mode regressed"
     )
     assert res.count() > 0
 
