@@ -90,7 +90,18 @@ SCORER = CompositeScorer(
 )
 
 
+def _read_stat() -> tuple[int, int]:
+    """(busy_ticks, steal_ticks) VM-wide from /proc/stat."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    user, nice, system, idle, iowait, irq, softirq, steal = (vals + [0] * 8)[:8]
+    return user + nice + system + irq + softirq, steal
+
+
 def main() -> None:
+    global _busy0, _steal0
+    _busy0, _steal0 = _read_stat()
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
@@ -214,6 +225,11 @@ def main() -> None:
     extras["urls_per_sec"] = round(n_emitted / timings["bfs_crawl"], 2)
 
     # --- q2: best-first crawl ----------------------------------------------
+    # best-of-2 with both walls recorded (VERDICT r2 #2 protocol): the
+    # strict loop is driver-job-bound, so its wall is hostage to host
+    # CPU-supply epochs in a way the data-parallel queries are not — a
+    # single 26-round run caught in a throttled epoch reads 2-4x slow
+    # on identical work (see steal_pct in the output line)
     def bff():
         eng = CrawlEngine(
             spark,
@@ -224,7 +240,14 @@ def main() -> None:
         )
         return eng.run(seeds[:50]).count()
 
-    extras["bff_urls_emitted"] = timed("bff_crawl", bff)
+    bff_walls = []
+    for _ in range(2):
+        t0 = time.time()
+        bff_urls = bff()
+        bff_walls.append(round(time.time() - t0, 3))
+    timings["bff_crawl"] = min(bff_walls)
+    extras["bff_crawl_walls"] = bff_walls
+    extras["bff_urls_emitted"] = bff_urls
 
     # --- q2b: best-first, scale batch size (same semantics, pop=500) -------
     def bff_batched():
@@ -358,12 +381,18 @@ def main() -> None:
     timed("text_stats", stats)
 
     total = round(sum(timings.values()), 3)
+    busy1, steal1 = _read_stat()
+    steal_pct = round(100.0 * (steal1 - _steal0) / max(busy1 - _busy0, 1), 2)
     print(
         json.dumps(
             {
                 "metric": "crawl_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                # host-condition evidence: % of the VM's busy CPU time
+                # stolen by the hypervisor during this suite run — walls
+                # from high-steal runs measure the host, not the engine
+                "steal_pct": steal_pct,
                 "queries": timings,
                 "sf": sf,
                 "cpus": CPUS,
