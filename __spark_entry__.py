@@ -1787,7 +1787,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(floor((0.0 + ln((2.0 / (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) + 0.5)) + 1.0) * (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) * 2.2 / (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / 1000.0)))) + ln((2.0 / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) + 0.5)) + 1.0) * (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) * 2.2 / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / 1000.0)))) + ln((2.0 / (CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) + 0.5)) + 1.0) * (CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) * 2.2 / (CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / 1000.0))))) * 1e6) AS BIGINT) AS bm25_fp FROM t
         """,
-        "seeder_bm25": """
+        "seeder_bm25": r"""
             WITH 
             toks AS (
               SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
@@ -1934,7 +1934,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, (CAST(doc_id % 7 AS INT) IN (1, 2, 3, 4, 6)) AS nonsense
             FROM documents
         """,
-        "seed_pipeline": f"""
+        "seed_pipeline": rf"""
             WITH 
             toks AS (
               SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
@@ -2223,7 +2223,7 @@ def oracle_sql() -> dict[str, str]:
                    16 AS out_w, 12 AS out_h
             FROM range(60) t(i)
         """,
-        "adaptive_rank_links": """
+        "adaptive_rank_links": r"""
             WITH vocab AS (
               SELECT DISTINCT UNNEST(list_filter(
                 string_split_regex(
