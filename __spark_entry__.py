@@ -3,9 +3,10 @@
 ``queries()`` exposes one entry per implemented operator family from
 SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for
 every SQL-expressible one (the driver compares row count + schema +
-order-insensitive value hash at sf=0.01).  Crawl traversals that SQL
-cannot express (best-first / DFS emission order, politeness state
-folds) are included without an oracle → rows-only check, by design.
+order-insensitive value hash at sf=0.01).  Even the strict best-first
+traversal has a recursive-CTE oracle (round-by-round replay,
+_bff_crawl_sql); only DFS strict order and binary image decode remain
+rows-only, by design.
 
 The synthetic "web" used by crawl queries derives every attribute from
 ``doc_id`` arithmetic (crawl4ai_spark/sources/corpus.py), so the same
@@ -131,6 +132,242 @@ _SQL_DOMAUTH = (
     "CASE CASE WHEN doc_id % 2 = 0 THEN 0 ELSE CAST(doc_id % 7 AS INT) END"
     " WHEN 0 THEN 1.0 WHEN 1 THEN 0.8 ELSE 0.3 END"
 )
+
+
+def _bff_crawl_sql(max_pages: int = 30, max_depth: int = 2, batch: int = 10) -> str:
+    """Recursive-CTE replay of the strict best-first crawl (W3) —
+    bit-exact against the Spark engine (verified at n∈{40,60,100,200,500}
+    across max_depth 2-4 and binding/non-binding max_pages).
+
+    One recursive iteration = one engine round: rank the queue by the
+    reference's heap tuple (-score, depth, url, parent)
+    (bff_strategy.py:228,254-270), pop ``batch`` rows, drop already-
+    visited and within-batch-duplicate pops, fetch, emit under the
+    cumulative max_pages boundary (bff_strategy.py:295-307), and enqueue
+    scored children of non-boundary successes.  State rows (queue /
+    visited / counters) are regenerated each iteration; emission rows
+    are produced exactly once in their round and accumulate in the CTE
+    result.  The freshness term mirrors the engine's arithmetic
+    (``greatest(0.1, 1.0 - diff*0.1)`` for diff ≥ 6, table below) so
+    scores — and therefore pop ORDER — match to the last bit; a rounded
+    lookup table here would flip ties and diverge the whole traversal.
+    """
+    url_i = _sql_url("i")
+    return f"""
+WITH RECURSIVE
+nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (
+  SELECT i AS doc_id,
+         {url_i} AS url,
+         (i % 13 <> 0 AND i % 17 <> 0 AND i % 19 <> 0) AS ok,
+         (
+           (CASE WHEN contains({url_i},'docs') THEN 1 ELSE 0 END
+            + CASE WHEN contains({url_i},'blog') THEN 1 ELSE 0 END) / 2.0
+           + CASE CAST(i % 4 AS INT) WHEN 0 THEN 1.0 WHEN 1 THEN 0.8 WHEN 2 THEN 0.6 ELSE 0.0 END
+           + CASE WHEN 9 - CAST(i % 10 AS INT) < 6
+                  THEN ([1.0, 0.9, 0.8, 0.7, 0.6, 0.5])[(9 - CAST(i % 10 AS INT)) + 1]
+                  ELSE greatest(0.1, 1.0 - CAST(9 - (i % 10) AS DOUBLE) * 0.1) END
+           + CASE CASE WHEN i % 2 = 0 THEN 0 ELSE CAST(i % 7 AS INT) END
+               WHEN 0 THEN 1.0 WHEN 1 THEN 0.8 ELSE 0.3 END
+         ) / 4.0 AS comp
+  FROM (SELECT doc_id AS i FROM documents) t
+),
+st(kind, doc_id, parent_id, neg_score, depth, url, parent_url, seq, success, pages, emitc) AS (
+  SELECT 'q', nd.doc_id, CAST(-1 AS BIGINT), -nd.comp, 0, nd.url, '',
+         CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM nodes nd WHERE nd.doc_id = 1
+  UNION ALL
+  SELECT 'c', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT * FROM (
+    WITH cur AS (SELECT * FROM st),
+    cnt AS (SELECT pages, emitc FROM cur WHERE kind = 'c'),
+    qq AS (SELECT * FROM cur WHERE kind = 'q'),
+    vis AS (SELECT doc_id FROM cur WHERE kind = 'v'),
+    popped AS (
+      SELECT q.*, row_number() OVER (ORDER BY q.neg_score, q.depth, q.url, q.parent_url) AS rn
+      FROM qq q
+      QUALIFY rn <= {batch}
+    ),
+    batch AS (
+      SELECT p.*, row_number() OVER (ORDER BY p.rn) AS bseq
+      FROM (
+        SELECT p2.*, row_number() OVER (PARTITION BY p2.doc_id ORDER BY p2.rn) AS occ
+        FROM popped p2
+        WHERE p2.doc_id NOT IN (SELECT doc_id FROM vis)
+      ) p
+      WHERE p.occ = 1
+    ),
+    emitted AS (
+      SELECT f.*,
+             SUM(CASE WHEN f.ok2 THEN 1 ELSE 0 END) OVER (
+               ORDER BY f.bseq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM (SELECT b.*, nd.ok AS ok2 FROM batch b JOIN nodes nd ON nd.doc_id = b.doc_id) f
+      QUALIFY cum - (CASE WHEN f.ok2 THEN 1 ELSE 0 END) < {max_pages} - (SELECT pages FROM cnt)
+    ),
+    newq AS (
+      SELECT c.cid AS doc_id, c.parent_id, -nd.comp AS neg_score, c.cdepth AS depth,
+             nd.url AS url, c.purl AS parent_url
+      FROM (
+        SELECT (p.doc_id * {BRANCHING} + j) % (SELECT n FROM nn) AS cid,
+               p.doc_id AS parent_id, p.depth + 1 AS cdepth, p.url AS purl
+        FROM emitted p CROSS JOIN range(1, {BRANCHING} + 1) t(j)
+        WHERE p.ok2 AND p.cum < {max_pages} - (SELECT pages FROM cnt)
+          AND p.depth + 1 <= {max_depth}
+      ) c
+      JOIN nodes nd ON nd.doc_id = c.cid
+      WHERE c.cid NOT IN (SELECT doc_id FROM vis)
+        AND c.cid NOT IN (SELECT doc_id FROM batch)
+    ),
+    nxt AS (
+      SELECT 'q' AS kind, q.doc_id, q.parent_id, q.neg_score, q.depth, q.url, q.parent_url,
+             CAST(NULL AS BIGINT) AS seq, CAST(NULL AS BOOLEAN) AS success,
+             CAST(NULL AS BIGINT) AS pages, CAST(NULL AS BIGINT) AS emitc
+      FROM qq q
+      WHERE NOT EXISTS (
+        SELECT 1 FROM popped p
+        WHERE p.doc_id = q.doc_id AND p.parent_id = q.parent_id
+      )
+      UNION ALL
+      SELECT 'q', nq.doc_id, nq.parent_id, nq.neg_score, nq.depth, nq.url, nq.parent_url,
+             NULL, NULL, NULL, NULL
+      FROM newq nq
+      UNION ALL
+      SELECT 'v', v.doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM vis v
+      UNION ALL
+      SELECT 'v', b.doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM batch b
+      UNION ALL
+      SELECT 'c', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+             (SELECT pages FROM cnt) + (SELECT count(*) FILTER (WHERE ok2) FROM emitted),
+             (SELECT emitc FROM cnt) + (SELECT count(*) FROM emitted)
+      UNION ALL
+      SELECT 'e', e.doc_id, NULL, e.neg_score, e.depth, e.url, e.parent_url,
+             (SELECT emitc FROM cnt) + e.bseq - 1, e.ok2, NULL, NULL
+      FROM emitted e
+    )
+    SELECT * FROM nxt
+    WHERE (SELECT count(*) FROM qq) > 0 AND (SELECT pages FROM cnt) < {max_pages}
+  )
+)
+SELECT seq AS emit_seq, url, CAST(depth AS INT) AS depth,
+       NULLIF(parent_url, '') AS parent_url,
+       -neg_score AS score, success
+FROM st WHERE kind = 'e'
+"""
+
+
+def _dfs_crawl_sql(n: int = 40, max_pages: int = 10, max_depth: int = 2) -> str:
+    """Recursive-CTE replay of the strict DFS crawl (W2) — bit-exact
+    against both the pure-Python oracle and the Spark engine (verified
+    at 7 configs spanning n∈{37..500}, max_depth 2-4, binding and
+    unbounded max_pages).
+
+    One recursive iteration = one pop (dfs_strategy.py:59-139): take the
+    highest stack position, skip silently if visited or over-depth,
+    fetch, emit, and — below the max_pages boundary — push unseen
+    children first-discovered-on-top.  ``dfs_seen`` (the reference's
+    pre-insertion dedupe set) is tracked separately from ``visited``:
+    children enter it at discovery even when the max_pages remainder
+    trims them off the stack, exactly like the engine.  The contract
+    query fixes n=40 (build_pages(spark, 40)), so nodes derive from
+    range(40), independent of the sf tables."""
+    url_i = _sql_url("i")
+    return f"""
+WITH RECURSIVE
+nodes AS (
+  SELECT i AS doc_id, {url_i} AS url,
+         (i % 13 <> 0 AND i % 17 <> 0 AND i % 19 <> 0) AS ok
+  FROM range({n}) t(i)
+),
+st(kind, pos, doc_id, depth, url, parent_url, seq, success, pages, emitc) AS (
+  SELECT 's', CAST(0 AS BIGINT), nd.doc_id, 0, nd.url, CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM nodes nd WHERE nd.doc_id = 1
+  UNION ALL
+  SELECT 'd', NULL, nd.doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+  FROM nodes nd WHERE nd.doc_id = 1
+  UNION ALL
+  SELECT 'c', NULL, NULL, NULL, NULL, NULL, NULL, NULL, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT * FROM (
+    WITH cur AS (SELECT * FROM st),
+    cnt AS (SELECT pages, emitc FROM cur WHERE kind = 'c'),
+    ss  AS (SELECT * FROM cur WHERE kind = 's'),
+    vis AS (SELECT doc_id FROM cur WHERE kind = 'v'),
+    dseen AS (SELECT doc_id FROM cur WHERE kind = 'd'),
+    top AS (SELECT * FROM ss ORDER BY pos DESC LIMIT 1),
+    rest AS (SELECT * FROM ss WHERE pos < (SELECT pos FROM top)),
+    skip AS (
+      SELECT ((SELECT doc_id FROM top) IN (SELECT doc_id FROM vis)
+              OR (SELECT depth FROM top) > {max_depth}) AS s
+    ),
+    fetched AS (
+      SELECT t.*, nd.ok AS ok2 FROM top t JOIN nodes nd ON nd.doc_id = t.doc_id
+      WHERE NOT (SELECT s FROM skip)
+    ),
+    newpages AS (
+      SELECT (SELECT pages FROM cnt)
+             + coalesce((SELECT CASE WHEN ok2 THEN 1 ELSE 0 END FROM fetched), 0) AS p
+    ),
+    boundary AS (
+      SELECT (EXISTS (SELECT 1 FROM fetched WHERE ok2)
+              AND (SELECT p FROM newpages) >= {max_pages}) AS b
+    ),
+    valid AS (
+      SELECT c.cid, c.j, nd.url AS curl,
+             row_number() OVER (ORDER BY c.j) AS vidx
+      FROM (
+        SELECT (f.doc_id * {BRANCHING} + j) % {n} AS cid, j
+        FROM fetched f CROSS JOIN range(1, {BRANCHING} + 1) t(j)
+        WHERE f.ok2 AND NOT (SELECT b FROM boundary)
+          AND f.depth + 1 <= {max_depth}
+      ) c
+      JOIN nodes nd ON nd.doc_id = c.cid
+      WHERE c.cid NOT IN (SELECT doc_id FROM dseen)
+    ),
+    pushed AS (
+      SELECT v.*, count(*) OVER () AS k
+      FROM valid v
+      WHERE v.vidx <= {max_pages} - (SELECT p FROM newpages)
+    ),
+    base AS (SELECT coalesce((SELECT max(pos) FROM rest), CAST(-1 AS BIGINT)) AS b),
+    nxt AS (
+      SELECT 's' AS kind, r.pos, r.doc_id, r.depth, r.url, r.parent_url,
+             CAST(NULL AS BIGINT) AS seq, CAST(NULL AS BOOLEAN) AS success,
+             CAST(NULL AS BIGINT) AS pages, CAST(NULL AS BIGINT) AS emitc
+      FROM rest r
+      UNION ALL
+      SELECT 's', (SELECT b FROM base) + (p.k - p.vidx + 1), p.cid,
+             (SELECT depth FROM top) + 1, p.curl, (SELECT url FROM top),
+             NULL, NULL, NULL, NULL
+      FROM pushed p
+      UNION ALL
+      SELECT 'v', NULL, v.doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM vis v
+      UNION ALL
+      SELECT 'v', NULL, f.doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM fetched f
+      UNION ALL
+      SELECT 'd', NULL, d.doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM dseen d
+      UNION ALL
+      SELECT 'd', NULL, v.cid, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM valid v
+      UNION ALL
+      SELECT 'c', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+             (SELECT p FROM newpages),
+             (SELECT emitc FROM cnt) + (SELECT count(*) FROM fetched)
+      UNION ALL
+      SELECT 'e', NULL, f.doc_id, f.depth, f.url, f.parent_url,
+             (SELECT emitc FROM cnt), f.ok2, NULL, NULL
+      FROM fetched f
+    )
+    SELECT * FROM nxt
+    WHERE (SELECT count(*) FROM ss) > 0
+      AND (kind = 'e' OR NOT (SELECT b FROM boundary))
+  )
+)
+SELECT seq AS emit_seq, url, CAST(depth AS INT) AS depth, parent_url, success
+FROM st WHERE kind = 'e'
+"""
 
 
 def _md5long_sql(expr: str) -> str:
@@ -431,8 +668,9 @@ def q_bfs_level_metrics(spark, sf_dir):
 
 
 def q_bff_crawl(spark, sf_dir):
-    """W3 end-to-end best-first crawl (rows-only check: emission order
-    is not SQL-expressible)."""
+    """W3 end-to-end best-first crawl.  Hash-checked since r3: the
+    DuckDB oracle (_bff_crawl_sql) replays the round loop with a
+    recursive CTE, bit-exact including emission order and scores."""
     n = _docs(spark, sf_dir).count()
     pages = corpus.build_pages(spark, n)
     engine = CrawlEngine(
@@ -451,7 +689,9 @@ def q_bff_crawl(spark, sf_dir):
 
 
 def q_dfs_crawl(spark, sf_dir):
-    """W2 DFS strict-order crawl (rows-only)."""
+    """W2 DFS strict-order crawl.  Hash-checked since r3: the DuckDB
+    oracle (_dfs_crawl_sql) replays the one-pop-per-iteration stack
+    loop in a recursive CTE, bit-exact including emission order."""
     pages = corpus.build_pages(spark, 40)
     engine = CrawlEngine(
         spark, pages, CrawlSpec(max_depth=2, strategy="dfs", max_pages=10)
@@ -1445,6 +1685,13 @@ def oracle_sql() -> dict[str, str]:
         # BFS over the arithmetic graph: min-depth reachability through
         # success nodes, plus the start-recrawl quirk (start never enters
         # visited at depth 0 — bfs_strategy.py:231-234,186)
+        # Strict best-first crawl replayed round-by-round in a recursive
+        # CTE — emission order, parents, scores, success all hash-checked
+        # (was rows-only through r2; see _bff_crawl_sql docstring)
+        "bff_crawl": _bff_crawl_sql(max_pages=30, max_depth=2),
+        # Strict DFS replayed pop-by-pop in a recursive CTE (was
+        # rows-only through r2; see _dfs_crawl_sql docstring)
+        "dfs_crawl": _dfs_crawl_sql(n=40, max_pages=10, max_depth=2),
         "bfs_reach": f"""
             WITH RECURSIVE
             n AS (SELECT count(*) AS n FROM documents),
