@@ -10,13 +10,11 @@ def test_oracle_keys_subset_of_queries():
     assert set(o) <= set(q)
     # the driver grades the first 50 registry entries — stay at 50
     assert len(q) == 50
-    # rows-only (non-SQL-expressible) queries are expected and documented:
-    # priority-queue recursion (bff/dfs) and binary image decode
-    # (image_validation).  politeness_backoff gained a recursive-CTE
-    # oracle in r3 (the md5-seeded fold is deterministic, so DuckDB
-    # replays it bit-for-bit).
+    # Only binary image decode remains rows-only: bff_crawl and
+    # dfs_crawl gained recursive-CTE replay oracles in r3 (bit-exact
+    # emission order), politeness_backoff earlier in r3.
     rows_only = set(q) - set(o)
-    assert rows_only == {"bff_crawl", "dfs_crawl", "image_validation"}
+    assert rows_only == {"image_validation"}
 
 
 def test_entry_runs_and_has_rows(spark):
