@@ -59,6 +59,7 @@ from crawl4ai_spark.operators.ordering import with_global_cumsum, with_global_ra
 from crawl4ai_spark.operators.politeness import PolitenessSpec, PolitenessState
 from crawl4ai_spark.operators.robots import RobotsRules
 from crawl4ai_spark.operators.seen import SeenStore
+from crawl4ai_spark.plans.stats import reset_stats_if_inflated
 
 BATCH_SIZE = 10  # bff_strategy.py:19
 
@@ -303,7 +304,9 @@ class CrawlEngine:
 
     # -- shared round pieces --------------------------------------------------
 
-    def _checkpoint(self, df: DataFrame, eager: bool = True) -> DataFrame:
+    def _checkpoint(
+        self, df: DataFrame, eager: bool = True, reset_stats: bool = True
+    ) -> DataFrame:
         """Truncate lineage via localCheckpoint.
 
         ``eager=False`` defers materialization to the first job that
@@ -315,8 +318,18 @@ class CrawlEngine:
         branches (stats crossJoin sides, queue anti-join) then
         race-recompute the un-pinned plan instead of reading blocks.
         The loops therefore checkpoint eagerly; job-count structure is
-        pinned by tests/test_job_budget.py."""
-        return df.localCheckpoint(eager=eager)
+        pinned by tests/test_job_budget.py.
+
+        ``reset_stats``: localCheckpoint PRESERVES the estimated plan
+        stats, and in a round loop the estimate squares every round
+        until Catalyst burns driver-minutes multiplying million-digit
+        BigIntegers (see plans/stats.py).  Default on; the one caller
+        whose downstream window relies on checkpoint-preserved
+        partitioning (the BFS bucket rank) opts out."""
+        out = df.localCheckpoint(eager=eager)
+        if reset_stats:
+            out = reset_stats_if_inflated(out)
+        return out
 
     def _make_seen(self):
         if self.spec.seen_mode == "bloom":
@@ -796,8 +809,12 @@ class CrawlEngine:
             # exactly once here, lineage is truncated (next round's plans
             # and the seen chain read raw row blocks), and no
             # cache-manager plan matching is involved.
+            # reset_stats=False: the rank window below PARTITIONS BY __b
+            # and counts on Spark remembering this checkpoint's hash
+            # partitioning — a stats reset would forget it and re-shuffle
             shuffled = self._checkpoint(
-                trimmed.withColumn("__b", bucket).repartition(n_parts, "__b")
+                trimmed.withColumn("__b", bucket).repartition(n_parts, "__b"),
+                reset_stats=False,
             )
             if spec.max_pages == math.inf:
                 seen.add(shuffled.select(F.col("norm_url").alias("url")))
@@ -1154,8 +1171,12 @@ class CrawlEngine:
         spec = self.spec
         seen = self._make_seen()  # BFF visited: pop-time set
         self.seen_store = seen
+        # (enq_round, enq_seq) identifies a queue entry: enq_seq is the
+        # enqueue rank WITHIN its round, so uniqueness needs no global
+        # counter — and therefore no per-round count job to advance one.
         queue_schema = (
-            "neg_score double, depth int, url string, parent_url string, enq_seq long"
+            "neg_score double, depth int, url string, parent_url string, "
+            "enq_round int, enq_seq long"
         )
         rs = spec.resume_state
         if rs:
@@ -1168,12 +1189,11 @@ class CrawlEngine:
             queue = spark.createDataFrame(
                 [
                     (float(it["score"]), int(it["depth"]), it["url"],
-                     it.get("parent_url"), i)
+                     it.get("parent_url"), -1, i)
                     for i, it in enumerate(items)
                 ],
                 queue_schema,
             )
-            enq_count = len(items)
             queue_size = len(items)
         else:
             seed_df = spark.createDataFrame(
@@ -1187,9 +1207,9 @@ class CrawlEngine:
                 F.lit(0).cast("int").alias("depth"),
                 "url",
                 F.lit(None).cast("string").alias("parent_url"),
+                F.lit(-1).cast("int").alias("enq_round"),
                 "enq_seq",
             )
-            enq_count = len(seeds)
             queue_size = len(seeds)
             self._depths.update({s: 0 for s in seeds})
         round_no = 0
@@ -1215,18 +1235,24 @@ class CrawlEngine:
             if rounds_since_ckpt >= 4:
                 queue = self._checkpoint(queue)
                 rounds_since_ckpt = 0
-            # queue size is tracked arithmetically — no isEmpty action
-            if queue_size <= 0:
-                break
+            # queue emptiness is detected by the pop collect coming back
+            # empty (queue_size is a rank-strategy hint, not a counter —
+            # it deliberately lags the round's enqueue)
 
-            # One checkpoint for the pop AND its dedupe verdict: the
-            # popped rows carry a __dup flag (already-visited OR a later
-            # occurrence of the same url within the batch) instead of
-            # being split into two materializations — the queue anti-join
-            # needs ALL popped enq_seqs, the fetch needs only the
-            # non-dups, and both read the same cached blocks.
+            # ONE materialization for the whole pop side (r3 fusion —
+            # VERDICT r2 #3): global rank ∘ batch filter ∘ visited flag ∘
+            # within-batch dup window ∘ corpus fetch join, checkpointed
+            # together.  A driver-side collect of the slim columns
+            # (links excluded — ≤ batch_size rows) then replaces what r2
+            # ran as three further jobs: the emit-rank window, the emit
+            # checkpoint and the fused stats collect.  Emission order,
+            # the max_pages boundary, the parent set and the round
+            # metrics are plain Python over the collected rows; the
+            # Spark-side emitted/parents frames are cheap filters over
+            # the already-pinned checkpoint blocks.
             ranked = with_global_rank(
-                queue, pop_order, "pop_rn", n_rows_hint=queue_size
+                queue, pop_order, "pop_rn", n_rows_hint=queue_size,
+                total_col="__qsz",
             ).filter(F.col("pop_rn") <= spec.batch_size)
             if seen.df is not None:
                 seen_flag = seen.df.select(
@@ -1238,62 +1264,95 @@ class CrawlEngine:
             else:
                 ranked = ranked.withColumn("__seen", F.lit(None).cast("boolean"))
             w_first = Window.partitionBy("url").orderBy("pop_rn")
-            batch_full = self._checkpoint(
-                ranked.withColumn(
-                    "__dup",
-                    F.coalesce(F.col("__seen"), F.lit(False))
-                    | (F.row_number().over(w_first) > 1),
-                ).drop("__seen")
-            )
+            popped = ranked.withColumn(
+                "__dup",
+                F.coalesce(F.col("__seen"), F.lit(False))
+                | (F.row_number().over(w_first) > 1),
+            ).drop("__seen")
+            # repartition(1): the seen/fetch joins spread ≤ batch_size
+            # rows over shuffle.partitions mostly-empty partitions;
+            # collapsing AFTER the join (shuffle of ≤ batch_size rows)
+            # keeps the corpus scan parallel while giving downstream
+            # readers — the discovery Arrow UDF above all — one task
+            # instead of 32 Python-worker spawns per round
+            batch_full = self._checkpoint(self._fetch(popped).repartition(1))
+            slim = batch_full.select(
+                "enq_round", "enq_seq", "pop_rn", "__dup", "__qsz", "success"
+            ).collect()
+            if not slim:
+                break  # queue exhausted
+            # exact queue size at pop time rode the rank window for free;
+            # the estimate lags this round's enqueue by design (it only
+            # picks the rank strategy next round, never affects values)
+            queue_size = max(0, int(slim[0]["__qsz"]) - len(slim))
             queue = queue.join(
-                batch_full.select("enq_seq"), "enq_seq", "left_anti"
+                batch_full.select("enq_round", "enq_seq"),
+                ["enq_round", "enq_seq"],
+                "left_anti",
             )
-            queue_size = max(0, queue_size - spec.batch_size)
+            # visited gains the whole non-dup batch at pop time
+            seen.add(batch_full.filter(~F.col("__dup")).select("url"))
 
-            batch = batch_full.filter(~F.col("__dup")).select(
-                "url",
-                "parent_url",
-                "depth",
-                (-F.col("neg_score")).alias("score"),
-                F.col("pop_rn").alias("seq"),
-            )
-            seen.add(batch.select("url"))
-
-            fetched = self._fetch(batch)
-            w_emit = Window.orderBy("seq")
-            cum = F.sum(F.col("success").cast("long")).over(
-                w_emit.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
+            slim.sort(key=lambda r: r["pop_rn"])
             remaining_before = (
                 float(spec.max_pages) - self._pages_crawled
                 if spec.max_pages != math.inf
                 else math.inf
             )
-            fetched = fetched.withColumn("cum_ok", cum)
-            if spec.max_pages != math.inf:
-                # emit rows whose prior-success count < remaining; the
-                # boundary page is kept, rows after it are dropped
-                # (bff_strategy.py:295-307)
-                fetched = fetched.filter(
-                    (F.col("cum_ok") - F.col("success").cast("long"))
-                    < F.lit(remaining_before)
-                )
-            emitted = self._emit(fetched, round_no, [F.col("seq")])
+            # emit rows whose prior-success count < remaining — the
+            # boundary page is kept, rows after it are dropped, and only
+            # non-boundary successes parent the discovery
+            # (bff_strategy.py:295-307)
+            emit_keys: list[str] = []
+            parent_seqs: list[int] = []
+            n_success = 0
+            cum = 0
+            for r in slim:
+                if r["__dup"]:
+                    continue
+                prior = cum
+                if r["success"]:
+                    cum += 1
+                if prior >= remaining_before:
+                    continue
+                emit_keys.append(f"{r['enq_round']}#{r['enq_seq']}")
+                if r["success"]:
+                    n_success += 1
+                    if cum < remaining_before:
+                        parent_seqs.append(
+                            self._emit_count + len(emit_keys) - 1
+                        )
+            n_emitted = len(emit_keys)
+            if n_emitted == 0:  # whole batch was already-visited dupes
+                round_no += 1
+                rounds_since_ckpt += 1
+                continue
 
-            # ---- discovery, built lazily BEFORE any stats job ----
-            # Boundary-row exclusion holds unconditionally: below the cap
-            # every success row has cum_ok2 ≤ n_success < remaining, so
-            # the filter is a no-op; at the cap it excludes exactly the
-            # boundary page (bff_strategy.py:295-307) — no driver-side
-            # reached_cap branch needed at plan-build time.
-            w_cum2 = Window.orderBy("emit_seq").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
+            enq_key = F.concat_ws("#", F.col("enq_round"), F.col("enq_seq"))
+            emit_map = F.create_map(
+                *[
+                    F.lit(x)
+                    for i, k in enumerate(emit_keys)
+                    for x in (k, self._emit_count + i)
+                ]
             )
-            parents = emitted.withColumn(
-                "cum_ok2", F.sum(F.col("success").cast("long")).over(w_cum2)
-            ).filter(F.col("success"))
-            if spec.max_pages != math.inf:
-                parents = parents.filter(F.col("cum_ok2") < F.lit(remaining_before))
+            emitted = (
+                batch_full.filter(enq_key.isin(emit_keys))
+                .withColumn("emit_seq", emit_map[enq_key].cast("long"))
+                .withColumn("round", F.lit(round_no))
+                .select(
+                    "emit_seq", "round", "url", "depth", "parent_url",
+                    (-F.col("neg_score")).alias("score"),
+                    "success", "status_code",
+                    F.lit(0).cast("int").alias("retry_count"),
+                    "links",
+                )
+            )
+            parents = (
+                emitted.filter(F.col("emit_seq").isin(parent_seqs))
+                if parent_seqs
+                else emitted.filter(F.lit(False))
+            )
             cand = self._discover_candidates(parents)
             # BFF dedupes ONLY against visited — duplicates may re-enter
             # the queue from different parents (pop-time dedupe)
@@ -1306,34 +1365,16 @@ class CrawlEngine:
                 F.col("next_depth").alias("depth"),
                 F.col("norm_url").alias("url"),
                 F.col("src_url").alias("parent_url"),
-                (F.col("__enq_rn") + F.lit(enq_count) - 1).alias("enq_seq"),
+                F.lit(round_no).cast("int").alias("enq_round"),
+                (F.col("__enq_rn") - 1).cast("long").alias("enq_seq"),
             )
             # checkpoint the (small) new_items part: every later pop
             # reuses it without re-running the discovery pipeline (which
             # crosses the Arrow UDF bridge)
             new_items = self._checkpoint(new_items)
 
-            # ONE stats job for the whole round: emit count/successes and
-            # the new-item count are two 1-row aggregates over cached
-            # blocks — crossJoin fuses them into a single collect
-            # (r2 ran separate emit-stats and new_items.count() jobs).
-            stats = (
-                emitted.agg(
-                    F.count("*").alias("n"),
-                    F.sum(F.col("success").cast("long")).alias("ok"),
-                )
-                .crossJoin(new_items.agg(F.count("*").alias("n_new")))
-                .collect()[0]
-            )
-            n_emitted = int(stats["n"])
-            n_success = int(stats["ok"] or 0)
-            n_new = int(stats["n_new"])
-            if n_emitted == 0:  # whole batch was already-visited dupes
-                round_no += 1
-                rounds_since_ckpt += 1
-                continue
             self._pages_crawled += n_success
-            self._result_parts.append(emitted.drop("links", "cum_ok"))
+            self._result_parts.append(emitted.drop("links"))
             self._metrics.append(
                 {
                     "round": round_no,
@@ -1347,8 +1388,6 @@ class CrawlEngine:
                 spec.max_pages != math.inf
                 and self._pages_crawled >= spec.max_pages
             )
-            enq_count += n_new
-            queue_size += n_new
             self._emit_count += n_emitted
             queue = queue.unionByName(new_items)
             if spec.checkpoint_dir:

@@ -36,11 +36,27 @@ def with_global_rank(
     out_col: str,
     n_rows_hint: int | None = None,
     n_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
-    """rank 1..N by ``order_cols`` (must be a total order)."""
+    """rank 1..N by ``order_cols`` (must be a total order).
+
+    ``total_col``: optionally attach the TOTAL row count as a column —
+    free in both paths (full-frame count in the single window; the
+    two-phase offset sum as a literal), so callers that need the size
+    don't pay a separate count job."""
     if n_rows_hint is not None and n_rows_hint < TWO_PHASE_THRESHOLD:
         w = Window.orderBy(*order_cols)
-        return df.withColumn(out_col, F.row_number().over(w))
+        out = df.withColumn(out_col, F.row_number().over(w))
+        if total_col:
+            out = out.withColumn(
+                total_col,
+                F.count("*").over(
+                    w.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+            )
+        return out
 
     spark = df.sparkSession
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism
@@ -72,10 +88,12 @@ def with_global_rank(
         offset_col = F.coalesce(offset_map[F.col("__pid")], F.lit(0))
     else:  # empty input: rank column still needs a valid expression
         offset_col = F.lit(0)
-    return (
-        ranged.withColumn(out_col, F.row_number().over(w) + offset_col)
-        .drop("__pid")
-    )
+    out = ranged.withColumn(
+        out_col, F.row_number().over(w) + offset_col
+    ).drop("__pid")
+    if total_col:
+        out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    return out
 
 
 def with_global_cumsum(
