@@ -1299,12 +1299,11 @@ class CrawlEngine:
                 if spec.max_pages != math.inf
                 else math.inf
             )
-            # emit rows whose prior-success count < remaining — the
-            # boundary page is kept, rows after it are dropped, and only
-            # non-boundary successes parent the discovery
-            # (bff_strategy.py:295-307)
-            emit_keys: list[str] = []
-            parent_seqs: list[int] = []
+            # Driver replica of the emit boundary — ONLY for the round's
+            # scalars (n_emitted / n_success): emit rows whose
+            # prior-success count < remaining; the boundary page is
+            # kept, rows after it are dropped (bff_strategy.py:295-307)
+            n_emitted = 0
             n_success = 0
             cum = 0
             for r in slim:
@@ -1315,44 +1314,46 @@ class CrawlEngine:
                     cum += 1
                 if prior >= remaining_before:
                     continue
-                emit_keys.append(f"{r['enq_round']}#{r['enq_seq']}")
+                n_emitted += 1
                 if r["success"]:
                     n_success += 1
-                    if cum < remaining_before:
-                        parent_seqs.append(
-                            self._emit_count + len(emit_keys) - 1
-                        )
-            n_emitted = len(emit_keys)
             if n_emitted == 0:  # whole batch was already-visited dupes
                 round_no += 1
                 rounds_since_ckpt += 1
                 continue
 
-            enq_key = F.concat_ws("#", F.col("enq_round"), F.col("enq_seq"))
-            emit_map = F.create_map(
-                *[
-                    F.lit(x)
-                    for i, k in enumerate(emit_keys)
-                    for x in (k, self._emit_count + i)
-                ]
+            # emitted/parents are the SAME boundary logic as Column
+            # expressions over the pinned batch (no extra action; no
+            # per-row literal maps, which at batch_size=500 dominate
+            # plan-build time)
+            w_pop = Window.orderBy("pop_rn")
+            cum_col = F.sum(F.col("success").cast("long")).over(
+                w_pop.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
-            emitted = (
-                batch_full.filter(enq_key.isin(emit_keys))
-                .withColumn("emit_seq", emit_map[enq_key].cast("long"))
-                .withColumn("round", F.lit(round_no))
-                .select(
-                    "emit_seq", "round", "url", "depth", "parent_url",
-                    (-F.col("neg_score")).alias("score"),
-                    "success", "status_code",
-                    F.lit(0).cast("int").alias("retry_count"),
-                    "links",
+            fe = batch_full.filter(~F.col("__dup")).withColumn("cum_ok", cum_col)
+            if spec.max_pages != math.inf:
+                fe = fe.filter(
+                    (F.col("cum_ok") - F.col("success").cast("long"))
+                    < F.lit(remaining_before)
                 )
+            fe = fe.withColumn(
+                "emit_seq",
+                F.row_number().over(w_pop) + F.lit(self._emit_count) - 1,
+            ).withColumn("round", F.lit(round_no))
+            emitted = fe.select(
+                "emit_seq", "round", "url", "depth", "parent_url",
+                (-F.col("neg_score")).alias("score"),
+                "success", "status_code",
+                F.lit(0).cast("int").alias("retry_count"),
+                "links",
             )
-            parents = (
-                emitted.filter(F.col("emit_seq").isin(parent_seqs))
-                if parent_seqs
-                else emitted.filter(F.lit(False))
-            )
+            # only non-boundary successes parent the discovery
+            parents = fe.filter(F.col("success"))
+            if spec.max_pages != math.inf:
+                parents = parents.filter(
+                    F.col("cum_ok") < F.lit(remaining_before)
+                )
+            parents = parents.select("url", "emit_seq", "depth", "links")
             cand = self._discover_candidates(parents)
             # BFF dedupes ONLY against visited — duplicates may re-enter
             # the queue from different parents (pop-time dedupe)
@@ -1453,7 +1454,20 @@ class CrawlEngine:
             if pops_since_ckpt >= 4:
                 stack = self._checkpoint(stack)
                 pops_since_ckpt = 0
-            top = stack.orderBy(F.desc("pos")).limit(1).collect()
+            # top-of-stack pop + fetch join (+ re-score) in ONE
+            # checkpoint; the slim collect reads the pinned single row —
+            # the r2 emit checkpoint, the leaf success collect and the
+            # emitted half of the stats job all ride it.  The fetch of a
+            # row that turns out visited/over-depth is a wasted 1-row
+            # join; the skip itself stays driver-side as before.
+            top_full = self._fetch(stack.orderBy(F.desc("pos")).limit(1))
+            if spec.scorer is not None:
+                # dfs_strategy.py:88-90: popped URL is re-scored
+                top_full = top_full.withColumn(
+                    "score", spec.scorer.column(F.col("url"))
+                )
+            top_full = self._checkpoint(top_full.repartition(1))
+            top = top_full.select("pos", "url", "depth", "success").collect()
             if not top:
                 break
             row = top[0]
@@ -1463,17 +1477,19 @@ class CrawlEngine:
                 continue
             visited.add(row["url"])
 
-            one = spark.createDataFrame(
-                [(row["url"], row["parent_url"], row["depth"], row["score"], 0)],
-                FRONTIER_SCHEMA,
-            )
-            fetched = self._fetch(one)
-            if spec.scorer is not None:
-                # dfs_strategy.py:88-90: popped URL is re-scored
-                fetched = fetched.withColumn(
-                    "score", spec.scorer.column(F.col("url"))
+            ok = bool(row["success"])
+            emitted = (
+                top_full.withColumn(
+                    "emit_seq", F.lit(self._emit_count).cast("long")
                 )
-            emitted = self._emit(fetched, round_no, [F.col("seq")])
+                .withColumn("round", F.lit(round_no))
+                .select(
+                    "emit_seq", "round", "url", "depth", "parent_url",
+                    "score", "success", "status_code",
+                    F.lit(0).cast("int").alias("retry_count"),
+                    "links",
+                )
+            )
             self._result_parts.append(emitted.drop("links"))
             self._emit_count += 1
             round_no += 1
@@ -1481,10 +1497,8 @@ class CrawlEngine:
             # Arithmetic leaf skip: a pop at max_depth cannot produce
             # children (next_depth guard) — skip the whole discovery job
             # (the reference's can_process fails for every child,
-            # dfs_strategy.py:62-70); only the success flag is needed.
+            # dfs_strategy.py:62-70); the success flag came with the pop.
             if row["depth"] >= spec.max_depth:
-                res = emitted.select("success").collect()[0]
-                ok = bool(res["success"])
                 self._pages_crawled += int(ok)
                 self._metrics.append(
                     {"round": round_no, "strategy": "dfs", "fetched": 1,
@@ -1494,11 +1508,13 @@ class CrawlEngine:
                     break
                 continue
 
-            # Discovery is BUILT before any collect (success gating moves
-            # into the plan: a failed fetch has no success rows, so
-            # deduped is empty) — its checkpoint and the success flag
-            # then share ONE fused stats job (r2 ran a result collect,
-            # an n_valid count and an n_new count separately).
+            if not ok:
+                self._metrics.append(
+                    {"round": round_no, "strategy": "dfs", "fetched": 1,
+                     "succeeded": 0, "pages_crawled": self._pages_crawled}
+                )
+                continue
+
             parents = emitted.filter(F.col("success")).withColumn(
                 "crawled_incl", F.lit(1)
             )
@@ -1509,25 +1525,18 @@ class CrawlEngine:
                 cand.withColumn("rk", F.row_number().over(w_first))
                 .filter(F.col("rk") == 1)
                 .drop("rk")
+                # valid-child count rides the checkpoint as a column
+                # (single tiny partition) — read back via head(1), not
+                # an aggregate job
+                .withColumn(
+                    "__nv", F.count("*").over(Window.partitionBy(F.lit(1)))
+                )
             )
             deduped = self._checkpoint(deduped)
             dfs_seen.add(deduped.select(F.col("norm_url").alias("url")))
 
-            stats = (
-                emitted.agg(
-                    F.sum(F.col("success").cast("long")).alias("ok")
-                )
-                .crossJoin(deduped.agg(F.count("*").alias("n_valid")))
-                .collect()[0]
-            )
-            ok = bool(stats["ok"])
-            n_valid = int(stats["n_valid"])
-            if not ok:
-                self._metrics.append(
-                    {"round": round_no, "strategy": "dfs", "fetched": 1,
-                     "succeeded": 0, "pages_crawled": self._pages_crawled}
-                )
-                continue
+            nv_row = deduped.select("__nv").head(1)
+            n_valid = int(nv_row[0]["__nv"]) if nv_row else 0
             self._pages_crawled += 1
             self._metrics.append(
                 {"round": round_no, "strategy": "dfs", "fetched": 1,
@@ -1600,11 +1609,12 @@ class CrawlEngine:
           reference's overflow score-sort quirk is strict-mode-only —
           batched pushes in discovery order).
 
-        Per round: 4 driver actions (pop+dedupe checkpoint, emit
-        checkpoint, discovery checkpoint, one fused stats collect)
-        amortized over ``batch_size`` URLs — vs ~3 actions PER URL in
-        strict mode.  (A lazy-checkpoint fusion of these into fewer
-        jobs measured 1.7-2x SLOWER — see ``_checkpoint``.)
+        Per round: 2 heavy driver actions (pop+dedupe+fetch checkpoint,
+        discovery checkpoint) plus two trivial cached reads (the slim
+        batch collect and the valid-count head) amortized over
+        ``batch_size`` URLs — vs per-URL actions in strict mode.  (A
+        lazy-checkpoint fusion into fewer jobs measured 1.7-2x SLOWER —
+        see ``_checkpoint``.)
         """
         spark = self.spark
         spec = self.spec
@@ -1660,7 +1670,14 @@ class CrawlEngine:
                 stack = self._checkpoint(stack)
                 rounds_since_ckpt = 0
 
-            # pop + dedupe verdict in ONE checkpoint (see _run_bff)
+            # pop side fused into ONE checkpoint + a slim driver collect,
+            # exactly like _run_bff: rank ∘ slice ∘ visited/depth dup
+            # flag ∘ fetch join (+ re-score) materialize together; the
+            # collect (≤ batch_size rows, links excluded) supplies
+            # emission order, the max_pages boundary, the parent set and
+            # round metrics driver-side — r2's emit checkpoint and the
+            # emitted half of the stats job disappear.  pos is already
+            # unique across the stack, so it is the driver's row key.
             ranked = with_global_rank(
                 stack, [F.desc("pos")], "pop_rn", n_rows_hint=stack_size
             ).filter(F.col("pop_rn") <= spec.batch_size)
@@ -1674,57 +1691,82 @@ class CrawlEngine:
             else:
                 ranked = ranked.withColumn("__seen", F.lit(None).cast("boolean"))
             w_first = Window.partitionBy("url").orderBy("pop_rn")
-            batch_full = self._checkpoint(
-                ranked.withColumn(
-                    "__dup",
-                    F.coalesce(F.col("__seen"), F.lit(False))
-                    | (F.row_number().over(w_first) > 1)
-                    | (F.col("depth") > F.lit(spec.max_depth)),
-                ).drop("__seen")
-            )
-            stack = stack.join(batch_full.select("pos"), "pos", "left_anti")
-            stack_size = max(0, stack_size - spec.batch_size)
-
-            batch = batch_full.filter(~F.col("__dup")).select(
-                "url", "parent_url", "depth", "score",
-                F.col("pop_rn").alias("seq"),
-            )
-            pop_seen.add(batch.select("url"))
-
-            fetched = self._fetch(batch)
+            popped = ranked.withColumn(
+                "__dup",
+                F.coalesce(F.col("__seen"), F.lit(False))
+                | (F.row_number().over(w_first) > 1)
+                | (F.col("depth") > F.lit(spec.max_depth)),
+            ).drop("__seen")
+            fetched_all = self._fetch(popped)
             if spec.scorer is not None:
                 # dfs_strategy.py:88-90: popped URL is re-scored
-                fetched = fetched.withColumn(
+                fetched_all = fetched_all.withColumn(
                     "score", spec.scorer.column(F.col("url"))
                 )
-            w_emit = Window.orderBy("seq").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
+            batch_full = self._checkpoint(fetched_all.repartition(1))
+            slim = batch_full.select(
+                "pos", "pop_rn", "__dup", "success"
+            ).collect()
+            if not slim:
+                break
+            stack = stack.join(batch_full.select("pos"), "pos", "left_anti")
+            stack_size = max(0, stack_size - len(slim))
+            pop_seen.add(batch_full.filter(~F.col("__dup")).select("url"))
+
+            slim.sort(key=lambda r: r["pop_rn"])
             remaining_before = (
                 float(spec.max_pages) - self._pages_crawled
                 if spec.max_pages != math.inf
                 else math.inf
             )
-            fetched = fetched.withColumn(
-                "cum_ok", F.sum(F.col("success").cast("long")).over(w_emit)
+            # driver replica of the emit boundary — round scalars only
+            n_emitted = 0
+            n_success = 0
+            cum = 0
+            for r in slim:
+                if r["__dup"]:
+                    continue
+                prior = cum
+                if r["success"]:
+                    cum += 1
+                if prior >= remaining_before:
+                    continue
+                n_emitted += 1
+                if r["success"]:
+                    n_success += 1
+            if n_emitted == 0:  # whole slice was dup/over-depth
+                round_no += 1
+                rounds_since_ckpt += 1
+                continue
+
+            # same boundary logic as Column expressions over the pinned
+            # batch (see _run_bff — no per-row literal maps)
+            w_pop = Window.orderBy("pop_rn")
+            cum_col = F.sum(F.col("success").cast("long")).over(
+                w_pop.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
+            fe = batch_full.filter(~F.col("__dup")).withColumn("cum_ok", cum_col)
             if spec.max_pages != math.inf:
-                fetched = fetched.filter(
+                fe = fe.filter(
                     (F.col("cum_ok") - F.col("success").cast("long"))
                     < F.lit(remaining_before)
                 )
-            emitted = self._emit(fetched, round_no, [F.col("seq")])
-
-            # discovery before stats (success gating + boundary exclusion
-            # live in the plan — see _run_bff)
-            w_cum2 = Window.orderBy("emit_seq").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
+            fe = fe.withColumn(
+                "emit_seq",
+                F.row_number().over(w_pop) + F.lit(self._emit_count) - 1,
+            ).withColumn("round", F.lit(round_no))
+            emitted = fe.select(
+                "emit_seq", "round", "url", "depth", "parent_url",
+                "score", "success", "status_code",
+                F.lit(0).cast("int").alias("retry_count"),
+                "links",
             )
-            parents = emitted.withColumn(
-                "cum_ok2", F.sum(F.col("success").cast("long")).over(w_cum2)
-            ).filter(F.col("success"))
+            parents = fe.filter(F.col("success"))
             if spec.max_pages != math.inf:
-                parents = parents.filter(F.col("cum_ok2") < F.lit(remaining_before))
+                parents = parents.filter(
+                    F.col("cum_ok") < F.lit(remaining_before)
+                )
+            parents = parents.select("url", "emit_seq", "depth", "links")
             cand = self._discover_candidates(parents)
             cand = dfs_seen.anti_join(cand, "norm_url")
             # first-occurrence dedupe across the round's parents, in
@@ -1740,7 +1782,9 @@ class CrawlEngine:
             )
             # two selection orders, same checkpoint: discovery order for
             # the normal push, score order for the capacity-overflow cut
-            # (strict mode's dfs_strategy.py:318-321 quirk)
+            # (strict mode's dfs_strategy.py:318-321 quirk); the valid
+            # count rides the rank window as total_col — the read below
+            # is a head(1) over pinned blocks, not an aggregate job
             uniq = with_global_rank(
                 uniq, [F.asc("emit_seq"), F.asc("link_idx")], "__push_rn",
                 n_rows_hint=spec.batch_size * 4,
@@ -1753,28 +1797,15 @@ class CrawlEngine:
             deduped = self._checkpoint(
                 with_global_rank(
                     uniq, score_order, "__score_rn",
-                    n_rows_hint=spec.batch_size * 4,
+                    n_rows_hint=spec.batch_size * 4, total_col="__nv",
                 )
             )
             dfs_seen.add(deduped.select(F.col("norm_url").alias("url")))
 
-            stats = (
-                emitted.agg(
-                    F.count("*").alias("n"),
-                    F.sum(F.col("success").cast("long")).alias("ok"),
-                )
-                .crossJoin(deduped.agg(F.count("*").alias("n_valid")))
-                .collect()[0]
-            )
-            n_emitted = int(stats["n"])
-            n_success = int(stats["ok"] or 0)
-            n_valid = int(stats["n_valid"])
-            if n_emitted == 0:  # whole slice was dup/over-depth
-                round_no += 1
-                rounds_since_ckpt += 1
-                continue
+            nv_row = deduped.select("__nv").head(1)
+            n_valid = int(nv_row[0]["__nv"]) if nv_row else 0
             self._pages_crawled += n_success
-            self._result_parts.append(emitted.drop("links", "cum_ok"))
+            self._result_parts.append(emitted.drop("links"))
             self._metrics.append(
                 {
                     "round": round_no,
