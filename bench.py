@@ -298,6 +298,46 @@ def main() -> None:
         extras["dfs_batched_urls"] / timings["dfs_crawl_batched"], 2
     )
 
+    # --- q2e: north-rule end-to-end — crawl + per-row image validation ------
+    # BFS crawl → join back to pages projecting only (url, image_id) →
+    # distinct image_ids semi-join the image table → decode + PSNR +
+    # caption check → verdicts fan back to page rows.  Times the whole
+    # composition (operators/image_crawl.py): "URLs scheduled+fetched/sec
+    # ... fetched image bytes validated per-row" is the BASELINE.json
+    # headline phrase, and this is the only suite entry that exercises
+    # the payload path end-to-end.
+    from crawl4ai_spark.operators.image_crawl import (
+        validated_crawl, validation_metrics,
+    )
+    from crawl4ai_spark.sources.images import build_images, reference_table
+
+    n_images = 499  # corpus pages reference img-{i % 499}
+    images = build_images(spark, n_images)
+    ref = reference_table(spark, n_images)
+    # the engine's prepared cache prunes to FETCH_COLS, so the
+    # validation join reads image_id from the raw corpus (Catalyst
+    # prunes that scan to (url, image_id) — bytes/links never load)
+    pages_raw = corpus.build_pages(spark, n_corpus)
+
+    def image_crawl():
+        eng = CrawlEngine(
+            spark,
+            pages,
+            CrawlSpec(max_depth=2, strategy="bfs", scorer=SCORER),
+        )
+        res = eng.run(seeds[:2000])
+        m = validation_metrics(
+            validated_crawl(res, pages_raw, images, ref)
+        ).collect()[0]
+        assert m["pixels_ok_pages"] == m["pages_validated"], m
+        assert m["caption_ok_pages"] == m["pages_validated"], m
+        return m["pages_validated"]
+
+    extras["image_crawl_pages_validated"] = timed("image_crawl", image_crawl)
+    extras["image_crawl_urls_per_sec"] = round(
+        extras["image_crawl_pages_validated"] / timings["image_crawl"], 2
+    )
+
     # --- q3: URL normalization throughput (Arrow UDF path) ------------------
     def normalize():
         base = spark.range(0, n_corpus).select(
