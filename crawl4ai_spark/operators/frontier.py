@@ -112,8 +112,10 @@ class CrawlSpec:
     # larger batches amortize per-round cost at scale (same semantics,
     # different pop granularity)
     batch_size: int = BATCH_SIZE
-    # URL-seen membership: "exact" (anti-join) or "bloom" (partitioned
-    # bloom-segment probe, then exact confirm — the 10^10 path)
+    # URL-seen membership: "exact" (anti-join), "bloom" (partitioned
+    # bloom-segment probe, then exact confirm — the 10^10 path), or
+    # "cuckoo" (same probe shape, deletable fingerprints for TTL-style
+    # re-crawl — seen_cuckoo.py)
     seen_mode: str = "exact"
     # resume from a reference-shape state dict (bfs_strategy.py:275-284,
     # dfs_strategy.py:106-120, bff_strategy.py:332-345)
@@ -336,6 +338,10 @@ class CrawlEngine:
             from crawl4ai_spark.operators.seen_bloom import BloomSeenStore
 
             return BloomSeenStore(self.spark)
+        if self.spec.seen_mode == "cuckoo":
+            from crawl4ai_spark.operators.seen_cuckoo import CuckooSeenStore
+
+            return CuckooSeenStore(self.spark)
         return SeenStore(self.spark)
 
     def _fetch(self, frontier: DataFrame) -> DataFrame:

@@ -1,0 +1,116 @@
+"""Partitioned cuckoo-filter segments (seen_cuckoo.py): no false
+negatives, bounded false positives, DELETION (the capability bloom
+lacks), stash overflow safety, order-independent bytes, and engine
+equivalence (cuckoo seen store == exact store)."""
+
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.frontier import CrawlEngine, CrawlSpec
+from crawl4ai_spark.operators.seen_cuckoo import CuckooSegments, CuckooSeenStore
+from crawl4ai_spark.sources import corpus
+
+
+def _urls(spark, lo, hi, prefix="https://x.com/p/"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("url")
+    )
+
+
+def test_no_false_negatives_and_bounded_fp(spark):
+    urls = _urls(spark, 0, 2000)
+    ck = CuckooSegments(spark, n_segments=8, capacity_per_segment=1024)
+    ck.add(urls)
+    assert ck.probe(urls, "url").filter(~F.col("maybe_seen")).count() == 0
+    # 16-bit fingerprints: fp rate ~ 2b/2^16 ≈ 0.012%; allow slack
+    fresh = _urls(spark, 10_000, 14_000)
+    fp = ck.probe(fresh, "url").filter(F.col("maybe_seen")).count()
+    assert fp / 4000 < 0.01
+    assert ck.count_items() == 2000
+
+
+def test_incremental_merge(spark):
+    ck = CuckooSegments(spark, n_segments=4, capacity_per_segment=2048)
+    ck.add(_urls(spark, 0, 500, "https://a.com/"))
+    ck.add(_urls(spark, 500, 1000, "https://a.com/"))
+    both = _urls(spark, 0, 1000, "https://a.com/")
+    assert ck.probe(both, "url").filter(~F.col("maybe_seen")).count() == 0
+    assert ck.count_items() == 1000
+
+
+def test_delete_forgets_only_deleted(spark):
+    ck = CuckooSegments(spark, n_segments=4, capacity_per_segment=2048)
+    ck.add(_urls(spark, 0, 1000))
+    ck.delete(_urls(spark, 0, 500))
+    # kept urls: still no false negatives
+    kept = _urls(spark, 500, 1000)
+    assert ck.probe(kept, "url").filter(~F.col("maybe_seen")).count() == 0
+    # deleted urls: gone except rare same-fp collisions with kept items
+    gone = _urls(spark, 0, 500)
+    still = ck.probe(gone, "url").filter(F.col("maybe_seen")).count()
+    assert still / 500 < 0.01
+    assert ck.count_items() == 500
+
+
+def test_stash_overflow_keeps_membership_exact(spark):
+    # capacity 16 (nb*b tiny) forces kicking failures into the stash
+    ck = CuckooSegments(spark, n_segments=1, capacity_per_segment=16, max_kicks=8)
+    urls = _urls(spark, 0, 300)
+    ck.add(urls)
+    assert ck.probe(urls, "url").filter(~F.col("maybe_seen")).count() == 0
+    row = ck.segments.collect()[0]
+    assert len(row["stash"]) > 0  # the valve actually engaged
+    assert ck.count_items() == 300
+    # stashed fingerprints are deletable too
+    ck.delete(urls)
+    assert ck.count_items() == 0
+
+
+def test_bytes_independent_of_insertion_order(spark):
+    fwd = _urls(spark, 0, 400)
+    rev = fwd.orderBy(F.desc("url")).repartition(7)
+    a = CuckooSegments(spark, n_segments=2, capacity_per_segment=1024)
+    b = CuckooSegments(spark, n_segments=2, capacity_per_segment=1024)
+    a.add(fwd)
+    b.add(rev)
+    rows_a = {r["seg"]: (r["table"], r["stash"]) for r in a.segments.collect()}
+    rows_b = {r["seg"]: (r["table"], r["stash"]) for r in b.segments.collect()}
+    assert rows_a == rows_b
+
+
+def test_seen_store_anti_join_matches_exact(spark):
+    from crawl4ai_spark.operators.seen import SeenStore
+
+    seen_urls = _urls(spark, 0, 300)
+    cands = _urls(spark, 150, 450)
+    ck = CuckooSeenStore(spark, n_segments=4, capacity_per_segment=1024)
+    ex = SeenStore(spark)
+    ck.add(seen_urls)
+    ex.add(seen_urls)
+    got = sorted(r["url"] for r in ck.anti_join(cands, "url").collect())
+    want = sorted(r["url"] for r in ex.anti_join(cands, "url").collect())
+    assert got == want  # exact confirm kills the (rare) cuckoo fp
+
+
+def test_remove_reopens_urls_for_recrawl(spark):
+    ck = CuckooSeenStore(spark, n_segments=4, capacity_per_segment=1024)
+    ck.add(_urls(spark, 0, 100))
+    ck.remove(_urls(spark, 0, 50))  # TTL expiry: forget the first 50
+    survivors = ck.anti_join(_urls(spark, 0, 100), "url")
+    got = sorted(int(r["url"].rsplit("/", 1)[1]) for r in survivors.collect())
+    assert got == list(range(50))
+    assert ck.contains_count() == 50
+
+
+def test_engine_cuckoo_mode_matches_exact_mode(spark):
+    pages = corpus.build_pages(spark, 80)
+    seed = corpus.py_canonical_url(1)
+
+    def run(mode):
+        eng = CrawlEngine(
+            spark, pages,
+            CrawlSpec(max_depth=2, strategy="bfs", seen_mode=mode),
+        )
+        res = eng.run(seed).orderBy("emit_seq").collect()
+        return [(r["url"], r["depth"], r["parent_url"]) for r in res]
+
+    assert run("cuckoo") == run("exact")
