@@ -241,12 +241,20 @@ def main() -> None:
         return eng.run(seeds[:50]).count()
 
     bff_walls = []
+    bff_steals = []
     for _ in range(2):
+        b0, s0 = _read_stat()
         t0 = time.time()
         bff_urls = bff()
         bff_walls.append(round(time.time() - t0, 3))
+        b1, s1 = _read_stat()
+        bff_steals.append(round(100.0 * (s1 - s0) / max(b1 - b0, 1), 2))
     timings["bff_crawl"] = min(bff_walls)
     extras["bff_crawl_walls"] = bff_walls
+    # per-wall steal%: a 2-4x slow wall with high steal is host CPU
+    # supply, not the engine (the strict loop is driver-job-bound and
+    # has no intra-run redundancy to absorb a throttled epoch)
+    extras["bff_crawl_steal_pcts"] = bff_steals
     extras["bff_urls_emitted"] = bff_urls
 
     # --- q2b: best-first, scale batch size (same semantics, pop=500) -------
