@@ -1415,9 +1415,29 @@ def q_lsh_self_join(spark, sf_dir):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BFS deep crawl (depth 2) over the synthetic corpus
-    sized from sf0.001 documents."""
-    return q_bfs_reach(spark, "/root/testdata/sf0.001")
+    """Flagship: the north-rule composition end-to-end — BFS deep crawl
+    (depth 2) over the synthetic corpus sized from sf0.001 documents,
+    then every crawled page's image payload validated per-row against
+    the reference table (PSNR ≥ 40 dB decoded-pixel check + exact
+    caption equality + phash match; operators/image_crawl.py)."""
+    from crawl4ai_spark.operators.image_crawl import validated_crawl
+    from crawl4ai_spark.sources.images import build_images, reference_table
+
+    n = _docs(spark, "/root/testdata/sf0.001").count()
+    pages = corpus.build_pages(spark, n)
+    engine = CrawlEngine(spark, pages, CrawlSpec(max_depth=2, strategy="bfs"))
+    res = engine.run(corpus.py_canonical_url(1))
+    n_images = min(n, 499)  # corpus pages reference img-{i % 499}
+    validated = validated_crawl(
+        res, pages, build_images(spark, n_images), reference_table(spark, n_images)
+    )
+    return validated.select(
+        "url",
+        F.col("emit_seq").cast("long").alias("emit_seq"),
+        "image_id",
+        F.round("psnr_db", 3).alias("psnr_db"),
+        "pixels_ok", "caption_ok", "phash_match",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

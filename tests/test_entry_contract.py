@@ -19,5 +19,13 @@ def test_oracle_keys_subset_of_queries():
 
 def test_entry_runs_and_has_rows(spark):
     df = entry_mod.entry(spark)
-    assert df.columns == ["url", "depth", "n"]
-    assert df.count() > 0
+    assert df.columns == [
+        "url", "emit_seq", "image_id",
+        "psnr_db", "pixels_ok", "caption_ok", "phash_match",
+    ]
+    rows = df.collect()
+    assert len(rows) > 0
+    # the north-rule invariant holds for every crawled page
+    assert all(r["pixels_ok"] and r["caption_ok"] and r["phash_match"]
+               for r in rows)
+    assert all(r["psnr_db"] >= 40.0 for r in rows)
