@@ -333,33 +333,16 @@ class CrawlEngine:
             out = reset_stats_if_inflated(out)
         return out
 
-    # queue strategies (best_first / dfs / dfs_batched) bound the seen
-    # set by seeds + max_pages + one batch; at or below this bound the
-    # exact store broadcasts its side of membership joins instead of
-    # shuffle-joining ≤ batch_size candidate rows against it
-    BROADCAST_SEEN_MAX_PAGES = 100_000
-
-    def _seen_is_small(self) -> bool:
-        return (
-            self.spec.max_pages != math.inf
-            and self.spec.max_pages <= self.BROADCAST_SEEN_MAX_PAGES
-        )
-
-    def _make_seen(self, broadcast_ok: bool = False):
-        small = broadcast_ok and self._seen_is_small()
+    def _make_seen(self):
         if self.spec.seen_mode == "bloom":
             from crawl4ai_spark.operators.seen_bloom import BloomSeenStore
 
-            store = BloomSeenStore(self.spark)
-            store.exact.broadcast_join = small
-            return store
+            return BloomSeenStore(self.spark)
         if self.spec.seen_mode == "cuckoo":
             from crawl4ai_spark.operators.seen_cuckoo import CuckooSeenStore
 
-            store = CuckooSeenStore(self.spark)
-            store.exact.broadcast_join = small
-            return store
-        return SeenStore(self.spark, broadcast_join=small)
+            return CuckooSeenStore(self.spark)
+        return SeenStore(self.spark)
 
     # fetch joins with a known frontier size at or below this take the
     # broadcast-probe plan (measured faster for strict/batched pops of
@@ -1231,7 +1214,7 @@ class CrawlEngine:
     def _run_bff(self, seeds: list[str]) -> None:
         spark = self.spark
         spec = self.spec
-        seen = self._make_seen(broadcast_ok=True)  # BFF visited: pop-time set
+        seen = self._make_seen()  # BFF visited: pop-time set
         self.seen_store = seen
         # (enq_round, enq_seq) identifies a queue entry: enq_seq is the
         # enqueue rank WITHIN its round, so uniqueness needs no global
@@ -1320,8 +1303,6 @@ class CrawlEngine:
                 seen_flag = seen.df.select(
                     F.col("url").alias("__seen_url"), F.lit(True).alias("__seen")
                 )
-                if getattr(seen, "broadcast_join", False):
-                    seen_flag = F.broadcast(seen_flag)
                 ranked = ranked.join(
                     seen_flag, ranked["url"] == seen_flag["__seen_url"], "left"
                 ).drop("__seen_url")
@@ -1477,7 +1458,7 @@ class CrawlEngine:
     def _run_dfs(self, seeds: list[str]) -> None:
         spark = self.spark
         spec = self.spec
-        dfs_seen = self._make_seen(broadcast_ok=True)
+        dfs_seen = self._make_seen()
         self.seen_store = dfs_seen
         visited: set[str] = set()  # bounded by pages actually crawled
         self.visited_set = visited
@@ -1686,8 +1667,8 @@ class CrawlEngine:
         """
         spark = self.spark
         spec = self.spec
-        pop_seen = self._make_seen(broadcast_ok=True)   # pop-time visited (strict's python set)
-        dfs_seen = self._make_seen(broadcast_ok=True)   # discovery-time dedupe (_dfs_seen)
+        pop_seen = self._make_seen()   # pop-time visited (strict's python set)
+        dfs_seen = self._make_seen()   # discovery-time dedupe (_dfs_seen)
         self.seen_store = dfs_seen
         self.pop_seen_store = pop_seen
         self.visited_set = None        # export_state falls back to pop_seen
@@ -1753,8 +1734,6 @@ class CrawlEngine:
                 seen_flag = pop_seen.df.select(
                     F.col("url").alias("__seen_url"), F.lit(True).alias("__seen")
                 )
-                if getattr(pop_seen, "broadcast_join", False):
-                    seen_flag = F.broadcast(seen_flag)
                 ranked = ranked.join(
                     seen_flag, ranked["url"] == seen_flag["__seen_url"], "left"
                 ).drop("__seen_url")

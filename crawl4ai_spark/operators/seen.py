@@ -25,21 +25,11 @@ class SeenStore:
     hash-only membership would admit false positives at 10^10 rows.
     """
 
-    def __init__(
-        self,
-        spark: SparkSession,
-        checkpoint_every: int = 8,
-        broadcast_join: bool = False,
-    ):
+    def __init__(self, spark: SparkSession, checkpoint_every: int = 8):
         self.spark = spark
         self._df: DataFrame | None = None
         self._adds_since_checkpoint = 0
         self._checkpoint_every = checkpoint_every
-        # broadcast_join=True: the caller guarantees the seen set stays
-        # small (strict/batched queue modes bound it by max_pages +
-        # seeds + one batch), so membership joins broadcast the seen
-        # side instead of shuffle-joining ≤ batch_size candidates
-        self.broadcast_join = broadcast_join
 
     @property
     def df(self) -> DataFrame | None:
@@ -68,8 +58,6 @@ class SeenStore:
         if self._df is None:
             return candidates
         seen = self._df.select(F.col("url").alias("__seen_url"))
-        if self.broadcast_join:
-            seen = F.broadcast(seen)
         return candidates.join(
             seen, candidates[url_col] == seen["__seen_url"], "left_anti"
         )
