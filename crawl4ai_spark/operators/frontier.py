@@ -634,10 +634,15 @@ class CrawlEngine:
                 n_defer = 0
 
             t0 = time.time()
-            # n_frontier is exact; the governor/politeness splits only
-            # shrink the fetched slice, so it stays a valid upper bound
+            # n_frontier is exact (recounted above when politeness is
+            # on), so it upper-bounds frontier_now in every branch; the
+            # max_round_size cap tightens it ONLY on the governor path —
+            # the politeness split is per-domain and ignores
+            # max_round_size, so min()-ing there would understate a
+            # large budget-passing frontier and mis-route it onto the
+            # broadcast-probe fetch plan
             hint = n_frontier
-            if spec.max_round_size is not None:
+            if politeness is None and spec.max_round_size is not None:
                 hint = min(hint, spec.max_round_size)
             fetched = self._fetch(frontier_now, n_rows_hint=hint)
             if politeness is None:

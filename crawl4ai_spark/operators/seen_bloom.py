@@ -247,6 +247,7 @@ class BloomSeenStore:
         )
         self.exact = SeenStore(spark)
         self.stats = {"probed": 0, "maybe": 0}
+        self._last_probed: DataFrame | None = None
 
     @property
     def df(self):
@@ -259,7 +260,13 @@ class BloomSeenStore:
     def anti_join(self, candidates: DataFrame, url_col: str) -> DataFrame:
         if self.exact.df is None:
             return candidates
+        # release the previous round's probe cache — its consumers have
+        # materialized (the engine checkpoints every round), so holding
+        # it would leak one cached DF per round into storage memory
+        if self._last_probed is not None:
+            self._last_probed.unpersist(blocking=False)
         probed = self.bloom.probe(candidates, url_col).persist()
+        self._last_probed = probed
         fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
         confirmed_new = self.exact.anti_join(maybe, url_col)

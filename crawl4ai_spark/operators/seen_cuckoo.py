@@ -279,6 +279,7 @@ class CuckooSeenStore:
         self.spark = spark
         self.cuckoo = CuckooSegments(spark, n_segments, capacity_per_segment)
         self.exact = SeenStore(spark)
+        self._last_probed: DataFrame | None = None
 
     @property
     def df(self):
@@ -290,21 +291,40 @@ class CuckooSeenStore:
 
     def remove(self, urls: DataFrame) -> None:
         """Forget urls (TTL expiry / forced re-crawl): deletes the
-        fingerprints AND rebuilds the exact set without them."""
+        fingerprints AND rebuilds the exact set without them.
+
+        Only urls actually present are deleted from the filter —
+        cuckoo deletion of an absent item whose fingerprint collides
+        with a stored one would strip the OTHER item and create a
+        false negative, so the request is semi-joined against the
+        exact set (and de-duplicated: two requests for one url must
+        not remove two fingerprint copies) before touching it."""
         if self.exact.df is None:
             return
-        gone = urls.select(F.col("url").alias("__gone"))
+        present = (
+            urls.select("url")
+            .distinct()
+            .join(self.exact.df.select("url"), "url", "left_semi")
+            .localCheckpoint(eager=True)  # both consumers read it once
+        )
+        gone = present.select(F.col("url").alias("__gone"))
         kept = self.exact.df.join(
             gone, F.col("url") == F.col("__gone"), "left_anti"
         )
         self.exact._df = kept.localCheckpoint(eager=True)
         self.exact._adds_since_checkpoint = 0
-        self.cuckoo.delete(urls)
+        self.cuckoo.delete(present)
 
     def anti_join(self, candidates: DataFrame, url_col: str) -> DataFrame:
         if self.exact.df is None:
             return candidates
+        # release the previous round's probe cache — its consumers have
+        # materialized (the engine checkpoints every round), so holding
+        # it would leak one cached DF per round into storage memory
+        if self._last_probed is not None:
+            self._last_probed.unpersist(blocking=False)
         probed = self.cuckoo.probe(candidates, url_col).persist()
+        self._last_probed = probed
         fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
         confirmed_new = self.exact.anti_join(maybe, url_col)

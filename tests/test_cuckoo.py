@@ -101,6 +101,26 @@ def test_remove_reopens_urls_for_recrawl(spark):
     assert ck.contains_count() == 50
 
 
+def test_remove_ignores_absent_and_duplicate_urls(spark):
+    """Cuckoo deletion of an absent url can strip a colliding stored
+    fingerprint; the store must guard by semi-joining the request
+    against the exact set and de-duplicating it."""
+    ck = CuckooSeenStore(spark, n_segments=4, capacity_per_segment=1024)
+    ck.add(_urls(spark, 0, 200))
+    # half the request was never added, and every url appears twice
+    req = _urls(spark, 100, 300).unionByName(_urls(spark, 100, 300))
+    ck.remove(req)
+    survivors = ck.anti_join(_urls(spark, 0, 300), "url")
+    got = sorted(int(r["url"].rsplit("/", 1)[1]) for r in survivors.collect())
+    assert got == list(range(100, 300))
+    assert ck.contains_count() == 100
+    # filter-level: every kept url still probes maybe_seen (no stored
+    # fingerprint was stripped by the absent/duplicate requests)
+    kept = _urls(spark, 0, 100)
+    assert ck.cuckoo.probe(kept, "url").filter(~F.col("maybe_seen")).count() == 0
+    assert ck.cuckoo.count_items() == 100
+
+
 def test_engine_cuckoo_mode_matches_exact_mode(spark):
     pages = corpus.build_pages(spark, 80)
     seed = corpus.py_canonical_url(1)
