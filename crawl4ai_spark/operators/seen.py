@@ -6,9 +6,10 @@ bloom prototype (deep_crawling/crazy.py:102-165).
 
 Exact mode (default): a persisted DataFrame of URLs; membership = LEFT
 ANTI join (SURVEY.md §2.4 J1).  At 10^10-URL scale the anti-join is
-preceded by a partitioned-bloom probe (``BloomSeen``, seen_bloom.py)
-that discards the vast majority of already-seen candidates before they
-reach the shuffle.
+preceded by a probabilistic segment probe — bloom (seen_bloom.py) or
+deletable cuckoo (seen_cuckoo.py), both built on
+``ProbeConfirmSeenStore`` below — that discards the vast majority of
+already-seen candidates before they reach the shuffle.
 """
 
 from __future__ import annotations
@@ -69,3 +70,59 @@ class SeenStore:
         if self._df is None:
             return []
         return [r["url"] for r in self._df.collect()]
+
+
+def with_xxhash_seg(df: DataFrame, url_col: str, n_segments: int) -> DataFrame:
+    """Shared segment sharding for the probabilistic seen structures:
+    segment(url) = pmod(xxhash64(url), S), hash kept as ``__h`` so the
+    segment builders never re-hash Python-side."""
+    h = F.xxhash64(F.col(url_col))
+    return df.withColumn("__h", h).withColumn(
+        "__seg", F.pmod(h, F.lit(n_segments)).cast("int")
+    )
+
+
+class ProbeConfirmSeenStore:
+    """Shared shell for probabilistic-prefilter + exact-confirm seen
+    stores (J1 at scale): ``self.prefilter`` (set by the subclass; any
+    object with ``add(urls, url_col)`` / ``probe(candidates, url_col)``
+    returning a ``maybe_seen`` column) answers membership per
+    candidate; a probe "no" is definitely-new and skips the exact
+    anti-join, a "maybe" is confirmed exactly — so the expensive exact
+    join sees only |dups| + fp·|new| rows, never the whole frontier."""
+
+    prefilter = None  # subclasses assign in __init__
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.exact = SeenStore(spark)
+        self._last_probed: DataFrame | None = None
+
+    @property
+    def df(self) -> DataFrame | None:
+        return self.exact.df
+
+    def add(self, urls: DataFrame) -> None:
+        self.exact.add(urls)
+        self.prefilter.add(urls)
+
+    def anti_join(self, candidates: DataFrame, url_col: str) -> DataFrame:
+        if self.exact.df is None:
+            return candidates
+        # release the previous round's probe cache — its consumers have
+        # materialized (the engine checkpoints every round), so holding
+        # it would leak one cached DF per round into storage memory
+        if self._last_probed is not None:
+            self._last_probed.unpersist(blocking=False)
+        probed = self.prefilter.probe(candidates, url_col).persist()
+        self._last_probed = probed
+        fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        confirmed_new = self.exact.anti_join(maybe, url_col)
+        return fresh.unionByName(confirmed_new)
+
+    def urls(self) -> list[str]:
+        return self.exact.urls()
+
+    def contains_count(self) -> int:
+        return self.exact.contains_count()

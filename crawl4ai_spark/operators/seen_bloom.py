@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from crawl4ai_spark.operators.seen import ProbeConfirmSeenStore, with_xxhash_seg
+
 SEGMENT_SCHEMA = T.StructType(
     [
         T.StructField("seg", T.IntegerType()),
@@ -100,10 +102,7 @@ class BloomSegments:
     # -- hashing --------------------------------------------------------------
 
     def with_seg(self, df: DataFrame, url_col: str) -> DataFrame:
-        h = F.xxhash64(F.col(url_col))
-        return df.withColumn("__h", h).withColumn(
-            "__seg", F.pmod(h, F.lit(self.S)).cast("int")
-        )
+        return with_xxhash_seg(df, url_col, self.S)
 
     def _batch_positions(self, pdf: pd.DataFrame, url_col: str) -> np.ndarray:
         """(n, k) bit positions for one Arrow batch, per hash family."""
@@ -226,10 +225,11 @@ class BloomSegments:
         return probed.drop("__h", "__seg")
 
 
-class BloomSeenStore:
+class BloomSeenStore(ProbeConfirmSeenStore):
     """Drop-in SeenStore with a bloom pre-filter before the exact
     anti-join (J1 at scale: bloom-segment probe, then exact anti-join on
-    survivors only)."""
+    survivors only).  Probe/confirm shell shared with the cuckoo store
+    (seen.ProbeConfirmSeenStore)."""
 
     def __init__(
         self,
@@ -239,41 +239,8 @@ class BloomSeenStore:
         fp_rate: float = 0.01,
         hash_family: str = "xxhash64",
     ):
-        from crawl4ai_spark.operators.seen import SeenStore
-
-        self.spark = spark
-        self.bloom = BloomSegments(
+        super().__init__(spark)
+        self.bloom = self.prefilter = BloomSegments(
             spark, n_segments, capacity_per_segment, fp_rate, hash_family
         )
-        self.exact = SeenStore(spark)
         self.stats = {"probed": 0, "maybe": 0}
-        self._last_probed: DataFrame | None = None
-
-    @property
-    def df(self):
-        return self.exact.df
-
-    def add(self, urls: DataFrame) -> None:
-        self.exact.add(urls)
-        self.bloom.add(urls)
-
-    def anti_join(self, candidates: DataFrame, url_col: str) -> DataFrame:
-        if self.exact.df is None:
-            return candidates
-        # release the previous round's probe cache — its consumers have
-        # materialized (the engine checkpoints every round), so holding
-        # it would leak one cached DF per round into storage memory
-        if self._last_probed is not None:
-            self._last_probed.unpersist(blocking=False)
-        probed = self.bloom.probe(candidates, url_col).persist()
-        self._last_probed = probed
-        fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        confirmed_new = self.exact.anti_join(maybe, url_col)
-        return fresh.unionByName(confirmed_new)
-
-    def urls(self) -> list[str]:
-        return self.exact.urls()
-
-    def contains_count(self) -> int:
-        return self.exact.contains_count()

@@ -47,6 +47,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from crawl4ai_spark.operators.seen import ProbeConfirmSeenStore, with_xxhash_seg
+
 SEGMENT_SCHEMA = T.StructType(
     [
         T.StructField("seg", T.IntegerType()),
@@ -102,10 +104,7 @@ class CuckooSegments:
     # -- hashing ------------------------------------------------------------
 
     def with_seg(self, df: DataFrame, url_col: str) -> DataFrame:
-        h = F.xxhash64(F.col(url_col))
-        return df.withColumn("__h", h).withColumn(
-            "__seg", F.pmod(h, F.lit(self.S)).cast("int")
-        )
+        return with_xxhash_seg(df, url_col, self.S)
 
     # -- mutate (insert / delete share one cogroup pass) ---------------------
 
@@ -264,9 +263,11 @@ class CuckooSegments:
         return probed.drop("__h", "__seg")
 
 
-class CuckooSeenStore:
+class CuckooSeenStore(ProbeConfirmSeenStore):
     """Drop-in SeenStore: cuckoo pre-filter before the exact anti-join
-    (J1 at scale), plus ``remove`` — the re-crawl path bloom can't do."""
+    (J1 at scale), plus ``remove`` — the re-crawl path bloom can't do.
+    Probe/confirm shell shared with the bloom store
+    (seen.ProbeConfirmSeenStore)."""
 
     def __init__(
         self,
@@ -274,20 +275,10 @@ class CuckooSeenStore:
         n_segments: int = 32,
         capacity_per_segment: int = 1 << 16,
     ):
-        from crawl4ai_spark.operators.seen import SeenStore
-
-        self.spark = spark
-        self.cuckoo = CuckooSegments(spark, n_segments, capacity_per_segment)
-        self.exact = SeenStore(spark)
-        self._last_probed: DataFrame | None = None
-
-    @property
-    def df(self):
-        return self.exact.df
-
-    def add(self, urls: DataFrame) -> None:
-        self.exact.add(urls)
-        self.cuckoo.add(urls)
+        super().__init__(spark)
+        self.cuckoo = self.prefilter = CuckooSegments(
+            spark, n_segments, capacity_per_segment
+        )
 
     def remove(self, urls: DataFrame) -> None:
         """Forget urls (TTL expiry / forced re-crawl): deletes the
@@ -315,23 +306,3 @@ class CuckooSeenStore:
         self.exact._adds_since_checkpoint = 0
         self.cuckoo.delete(present)
 
-    def anti_join(self, candidates: DataFrame, url_col: str) -> DataFrame:
-        if self.exact.df is None:
-            return candidates
-        # release the previous round's probe cache — its consumers have
-        # materialized (the engine checkpoints every round), so holding
-        # it would leak one cached DF per round into storage memory
-        if self._last_probed is not None:
-            self._last_probed.unpersist(blocking=False)
-        probed = self.cuckoo.probe(candidates, url_col).persist()
-        self._last_probed = probed
-        fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        confirmed_new = self.exact.anti_join(maybe, url_col)
-        return fresh.unionByName(confirmed_new)
-
-    def urls(self) -> list[str]:
-        return self.exact.urls()
-
-    def contains_count(self) -> int:
-        return self.exact.contains_count()
