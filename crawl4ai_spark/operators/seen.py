@@ -21,9 +21,10 @@ from pyspark.sql import functions as F
 class SeenStore:
     """Exact URL-seen set backed by a checkpointed DataFrame.
 
-    The store keeps (url, url_hash) so the anti-join can run on the
-    64-bit hash (cheap shuffle key) with an equality confirm on url —
-    hash-only membership would admit false positives at 10^10 rows.
+    The store keeps a single ``url`` column; the anti-join shuffles on
+    the url itself (Spark hash-partitions the string key), and the
+    probabilistic prefilters below carry their own xxhash64 so the
+    exact side never needs a stored hash column.
     """
 
     def __init__(self, spark: SparkSession, checkpoint_every: int = 8):
@@ -54,6 +55,24 @@ class SeenStore:
         if self._adds_since_checkpoint >= self._checkpoint_every:
             self._df = self._df.localCheckpoint(eager=True)
             self._adds_since_checkpoint = 0
+
+    def replace(self, df: DataFrame) -> None:
+        """Atomically swap the stored set for ``df`` (a one-column
+        ``url`` DataFrame) — the public mutation hook for removal /
+        TTL-expiry flows (e.g. CuckooSeenStore.remove), so callers
+        never reach into private state."""
+        self._df = df.select("url").localCheckpoint(eager=True)
+        self._adds_since_checkpoint = 0
+
+    def remove(self, urls: DataFrame) -> None:
+        """Drop the given urls from the set (anti-join + replace)."""
+        if self._df is None:
+            return
+        gone = urls.select(F.col("url").alias("__gone"))
+        kept = self._df.join(
+            gone, F.col("url") == F.col("__gone"), "left_anti"
+        )
+        self.replace(kept)
 
     def anti_join(self, candidates: DataFrame, url_col: str) -> DataFrame:
         if self._df is None:

@@ -27,10 +27,14 @@ keys (probed vectorized) instead of failing — the safety valve for
 over-capacity segments; size ``capacity_per_segment`` so the load
 factor stays under ~0.95 and the stash stays empty.
 
-Determinism: the builder sorts each Arrow batch by (i1, fp) before
-inserting, so the table bytes are a pure function of the item SET —
-independent of shuffle arrival order (required for byte-stable
-checkpoint snapshots).
+Determinism: the builder dedupes each ``add()`` batch on the 64-bit
+hash and sorts by (i1, fp) before inserting, so the table bytes are
+order-independent PER CALL — the same batch produces the same bytes
+regardless of shuffle arrival order (required for byte-stable
+checkpoint snapshots).  Across multiple add() calls the layout
+depends on the batch sequence: two stores holding the same item set
+built via different call orders may differ byte-wise (membership
+answers are identical either way).
 
 Scale shape: identical to the bloom path — build/merge/delete are one
 ``cogroup().applyInPandas`` over the segment key (full-outer: segments
@@ -110,7 +114,16 @@ class CuckooSegments:
 
     def _apply(self, urls: DataFrame, url_col: str, op: str) -> None:
         nb, b, max_kicks = self.nb, self.b, self.max_kicks
-        updates = self.with_seg(urls, url_col).select("__seg", "__h")
+        # dedupe on the 64-bit hash: the filter only ever sees fp/i1/i2
+        # derived from __h, so same-hash rows are one item to it; without
+        # this, duplicate URLs in a batch would store multiple fingerprint
+        # copies and inflate n_items (and a later delete would remove
+        # only one copy).
+        updates = (
+            self.with_seg(urls, url_col)
+            .select("__seg", "__h")
+            .dropDuplicates(["__h"])
+        )
         segs = self._segments
         if segs is None:
             if op == "delete":
@@ -207,6 +220,11 @@ class CuckooSegments:
         )
 
     def add(self, urls: DataFrame, url_col: str = "url") -> None:
+        """Insert fingerprints.  Duplicates WITHIN the batch are deduped
+        (on the 64-bit hash); across calls the caller must not re-add
+        URLs already in the store — the engine guarantees this by
+        anti-joining before every discovery — or n_items/count_items()
+        will overcount and a single delete() removes only one copy."""
         self._apply(urls, url_col, "insert")
 
     def delete(self, urls: DataFrame, url_col: str = "url") -> None:
@@ -298,11 +316,6 @@ class CuckooSeenStore(ProbeConfirmSeenStore):
             .join(self.exact.df.select("url"), "url", "left_semi")
             .localCheckpoint(eager=True)  # both consumers read it once
         )
-        gone = present.select(F.col("url").alias("__gone"))
-        kept = self.exact.df.join(
-            gone, F.col("url") == F.col("__gone"), "left_anti"
-        )
-        self.exact._df = kept.localCheckpoint(eager=True)
-        self.exact._adds_since_checkpoint = 0
+        self.exact.remove(present)
         self.cuckoo.delete(present)
 

@@ -134,3 +134,33 @@ def test_engine_cuckoo_mode_matches_exact_mode(spark):
         return [(r["url"], r["depth"], r["parent_url"]) for r in res]
 
     assert run("cuckoo") == run("exact")
+
+
+def test_add_dedupes_within_batch(spark):
+    """Duplicate urls within one add() batch must store ONE fingerprint
+    copy (n_items exact), and one delete() must fully forget them —
+    the ADVICE-r3 silent-miscount fix."""
+    ck = CuckooSegments(spark, n_segments=4, capacity_per_segment=1024)
+    tripled = (
+        _urls(spark, 0, 100)
+        .unionByName(_urls(spark, 0, 100))
+        .unionByName(_urls(spark, 0, 100))
+    )
+    ck.add(tripled)
+    assert ck.count_items() == 100
+    ck.delete(_urls(spark, 0, 100))
+    assert ck.count_items() == 0
+    still = ck.probe(_urls(spark, 0, 100), "url").filter(F.col("maybe_seen")).count()
+    assert still == 0
+
+
+def test_seen_store_public_remove_and_replace(spark):
+    from crawl4ai_spark.operators.seen import SeenStore
+
+    ex = SeenStore(spark)
+    ex.add(_urls(spark, 0, 100))
+    ex.remove(_urls(spark, 0, 40))
+    assert ex.contains_count() == 60
+    ex.replace(_urls(spark, 0, 10))
+    assert ex.contains_count() == 10
+    assert ex.anti_join(_urls(spark, 0, 20), "url").count() == 10
