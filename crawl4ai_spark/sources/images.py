@@ -62,10 +62,33 @@ def make_image_row(i: int, seed: int = 42, tamper: bool = False) -> dict:
     }
 
 
-def build_images(spark: SparkSession, n: int = 200, seed: int = 42) -> DataFrame:
+def build_images(
+    spark: SparkSession,
+    n: int = 200,
+    seed: int = 42,
+    tamper_mod: int | None = None,
+) -> DataFrame:
+    """``tamper_mod``: deterministically tamper one pixel of every
+    png row whose id ≡ 0 (mod tamper_mod) — the id-derived corruption
+    the image_validation oracle predicts.  Only png rows: their
+    compare is exact so any tamper fails; a single tampered pixel on
+    a quantize-lossy ('jpeg') row sits at ~39.9 dB, too close to the
+    40 dB PSNR threshold for a deterministic cross-engine boolean."""
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [make_image_row(int(i), seed) for i in pdf["id"]]
+            rows = [
+                make_image_row(
+                    int(i),
+                    seed,
+                    tamper=(
+                        tamper_mod is not None
+                        and i % tamper_mod == 0
+                        and i % 3 != 0  # png rows only (fmt rule)
+                    ),
+                )
+                for i in pdf["id"]
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_SCHEMA])
 
     return spark.range(0, n).mapInPandas(gen, IMAGE_SCHEMA)

@@ -10,11 +10,10 @@ def test_oracle_keys_subset_of_queries():
     assert set(o) <= set(q)
     # the driver grades the first 50 registry entries — stay at 50
     assert len(q) == 50
-    # Only binary image decode remains rows-only: bff_crawl and
-    # dfs_crawl gained recursive-CTE replay oracles in r3 (bit-exact
-    # emission order), politeness_backoff earlier in r3.
+    # r4: image_validation gained a derived-boolean oracle (the last
+    # rows-only row) — every registry entry now carries a hard oracle.
     rows_only = set(q) - set(o)
-    assert rows_only == {"image_validation"}
+    assert rows_only == set()
 
 
 def test_entry_runs_and_has_rows(spark):
