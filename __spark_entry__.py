@@ -405,43 +405,42 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
 # queries
 # ---------------------------------------------------------------------------
 
-def q_normalize_urls(spark, sf_dir):
-    """N2 normalize_url_for_deep_crawl + N3 efficient variant over the
-    same messy hrefs (one scan, two Arrow UDF columns): the deep-crawl
-    normalizer strips tracking params + fragment and sorts the query;
-    the efficient variant only drops the fragment."""
-    from crawl4ai_spark.functions.normalize import normalize_efficient_udf
+def q_normalize_suite(spark, sf_dir):
+    """N1+N2+N3 normalizer suite in one scan (r4 merge of the r3 rows
+    ``normalize_urls`` → columns norm_deep/norm_eff and
+    ``normalize_urls_full`` → column norm_url; every retired column is
+    carried verbatim, see RETIRED_INTO): N1 normalize_url full variant
+    (big tracking set, sorted query, blank values kept), N2
+    normalize_url_for_deep_crawl (strips tracking params + fragment,
+    sorts the query), N3 efficient variant (only drops the fragment) —
+    three Arrow UDF columns over the same messy hrefs."""
+    from crawl4ai_spark.functions.normalize import (
+        normalize_efficient_udf,
+        normalize_full_udf,
+    )
 
     du = _doc_urls(spark, sf_dir)
-    messy = F.concat(
+    messy_deep = F.concat(
         F.col("url"),
         F.lit("?utm_source=x&b="),
         (F.col("doc_id") % 5).cast("string"),
         F.lit("&a=1#sec"),
     )
-    return du.select(
-        "doc_id",
-        normalize_udf(messy, F.col("url")).alias("norm_deep"),
-        normalize_efficient_udf(messy, F.col("url")).alias("norm_eff"),
-    )
-
-
-def q_normalize_urls_full(spark, sf_dir):
-    """N1 normalize_url (full variant: big tracking set, sorted query,
-    blank values kept) over messy hrefs (Arrow UDF)."""
-    from crawl4ai_spark.functions.normalize import normalize_full_udf
-
-    du = _doc_urls(spark, sf_dir)
     v = (F.col("doc_id") % 4).cast("int")
-    messy = F.concat(
+    messy_full = F.concat(
         F.col("url"),
         F.when(v == 0, F.lit("?utm_term=x&ref_src=tw&b=2&a=1#frag"))
         .when(v == 1, F.lit("?b=&a=1"))
         .when(v == 2, F.lit("#keep"))
         .otherwise(F.lit("?fbclid=1&GCLID=2")),
     )
-    udf = normalize_full_udf()
-    return du.select("doc_id", udf(messy, F.col("url")).alias("norm_url"))
+    full_udf = normalize_full_udf()
+    return du.select(
+        "doc_id",
+        full_udf(messy_full, F.col("url")).alias("norm_url"),
+        normalize_udf(messy_deep, F.col("url")).alias("norm_deep"),
+        normalize_efficient_udf(messy_deep, F.col("url")).alias("norm_eff"),
+    )
 
 
 def q_sitemap_seeds(spark, sf_dir):
@@ -1427,6 +1426,152 @@ def q_crt_hosts(spark, sf_dir):
     return hosts_from_crt(ct, "example.com")
 
 
+def q_domain_sources(spark, sf_dir):
+    """S10 DomainMapper per-source suite (domain_mapper.py:305-600) —
+    r4 merge of the r3 singleton rows ``wayback_urls`` and
+    ``crt_hosts`` (each rides as its own tagged row group, inputs
+    unchanged) plus FIRST driver rows for the probe and feed sources
+    (VERDICT-r3 #5):
+
+    - wayback: CDX originals suffix-filtered to (url, host)
+      (domain_mapper.py:391-420)
+    - crt: SAN mining from CT entries (:361-389); host-only rows carry
+      a synthetic ``crt://host`` url so the union stays null-free
+    - probe: hosts × DEFAULT_PROBE_PATHS candidates, existence =
+      semi-join against the fetchable set (fetch-as-join for the
+      reference's per-probe HEAD, :447-505); fetchable is the
+      deterministic (hidx + length(url)) % 3 != 0 subset
+    - feed: <link rel=alternate type=rss/atom> hrefs mined from
+      homepage HTML, relative hrefs resolved against the host
+    """
+    from crawl4ai_spark.sources.domain_mapper import feed_urls, probe_urls
+
+    way = q_wayback_urls(spark, sf_dir).select(
+        F.lit("wayback").alias("source"), "host", "url"
+    )
+    crt = q_crt_hosts(spark, sf_dir).select(
+        F.lit("crt").alias("source"),
+        "host",
+        F.concat(F.lit("crt://"), F.col("host")).alias("url"),
+    )
+    hosts = spark.range(0, 7).select(
+        F.concat(F.lit("d"), F.col("id").cast("string"), F.lit(".example.com"))
+        .alias("host"),
+        F.col("id").alias("hidx"),
+    )
+    probes = probe_urls(hosts.select("host"))
+    fetchable = (
+        probe_urls(hosts.select("host"))
+        .join(hosts, "host")
+        .filter((F.col("hidx") + F.length(F.col("url"))) % 3 != 0)
+        .select("url")
+    )
+    probe = probes.join(fetchable, "url", "left_semi").select(
+        F.lit("probe").alias("source"), "host", "url"
+    )
+    rss = (
+        '<link rel="alternate" type="application/rss+xml" href="/feed.xml">'
+    )
+    homepages = hosts.select(
+        "host",
+        F.when(
+            F.col("hidx") % 3 == 0,
+            F.concat(
+                F.lit("<html><head>" + rss),
+                F.lit('<link rel="alternate" type="application/atom+xml"'
+                      ' href="https://feeds.'),
+                F.col("host"),
+                F.lit('/atom"></head></html>'),
+            ),
+        )
+        .when(
+            F.col("hidx") % 3 == 1,
+            F.lit('<html><head><link rel="alternate"'
+                  ' type="application/json" href="/no"></head></html>'),
+        )
+        .otherwise(F.lit("<html><body>no feeds</body></html>"))
+        .alias("content"),
+    )
+    feed = feed_urls(homepages, "example.com").select(
+        F.lit("feed").alias("source"), "host", "url"
+    )
+    return way.unionByName(crt).unionByName(probe).unionByName(feed)
+
+
+def q_ttl_recrawl(spark, sf_dir):
+    """TTL re-crawl on the deletable cuckoo seen store (VERDICT-r3 #4;
+    robots 7-day TTL utils.py:252-275, CacheMode revalidation
+    cache_context.py:59-87): BFS crawl once with the cuckoo store,
+    stamp each emitted page with a deterministic fetched_at (page i
+    fetched (i+6)%10 days after epoch — the phase puts the seed's
+    children in the stale set, so the re-crawl traversal is non-trivial
+    and a broken remove() visibly changes it), revalidate at day 9.5
+    with a 7-day TTL (stale ⟺ (i+6)%10 < 3 ⟺ i%10 ∈ {4,5,6}),
+    ``remove()`` the stale urls from the store, and re-run the SAME
+    crawl with the mutated store injected —
+    only the seed (start-recrawl quirk) and stale pages reachable
+    through stale ancestors pass the seen anti-join.  The oracle
+    replays the re-crawl as a recursive CTE over the open subgraph, so
+    a remove() defect (missed delete, or a collision-delete false
+    negative) changes the emission set and breaks the hash."""
+    from crawl4ai_spark.operators.recrawl import expire_and_recrawl, stale_urls
+
+    n = _docs(spark, sf_dir).count()
+    pages = corpus.build_pages(spark, n)
+    seed = corpus.py_canonical_url(1)
+    eng1 = CrawlEngine(
+        spark, pages, CrawlSpec(max_depth=2, strategy="bfs", seen_mode="cuckoo")
+    )
+    res1 = eng1.run(seed)
+    did = F.regexp_extract("url", r"doc-(\d+)", 1).cast("long")
+    log = res1.select("url", (((did + 6) % 10) * 86400).alias("fetched_at"))
+    expired = stale_urls(log, now_epoch=9 * 86400 + 43200, ttl_seconds=7 * 86400)
+    res2 = expire_and_recrawl(
+        eng1.seen_store, expired, pages,
+        CrawlSpec(max_depth=2, strategy="bfs"), seed,
+    )
+    return res2.select(
+        "url", F.col("depth").cast("int").alias("depth"), "status_code"
+    )
+
+
+def q_adaptive_crawl(spark, sf_dir):
+    """Composed AdaptiveCrawler digest loop (adaptive_crawler.py:
+    1292-1446): crawl → KB update → 0.4/0.3/0.3 confidence →
+    info-gain link selection → stop (threshold / max_pages / no_links
+    / saturation / max_depth), VERDICT-r3 #3.  Runs over the
+    closed-form 3-ary tree corpus (sources/adaptive_corpus.py) whose
+    gain scores depend only on the doc id, so the DuckDB oracle
+    replays the ENTIRE loop — per-round selection, KB order, pending
+    counts, confidence stream AND the stop decision — as a recursive
+    CTE over id arithmetic.  Stops at round 4 via the confidence
+    threshold (0.5) with max_depth 6, so the threshold rule itself is
+    hash-bound."""
+    from crawl4ai_spark.operators.adaptive_crawl import (
+        AdaptiveCrawler,
+        AdaptiveSpec,
+    )
+    from crawl4ai_spark.sources.adaptive_corpus import (
+        adaptive_url,
+        build_adaptive_pages,
+    )
+
+    pages = build_adaptive_pages(spark, 40)
+    spec = AdaptiveSpec(
+        query="alpha beta", confidence_threshold=0.5, max_depth=6,
+        max_pages=20, top_k_links=3,
+    )
+    hist = AdaptiveCrawler(spark, pages, spec).digest(adaptive_url(0))
+    return hist.select(
+        "round", "n_kb", "n_pending",
+        F.round("coverage", 6).alias("coverage"),
+        F.round("consistency", 6).alias("consistency"),
+        F.round("saturation", 6).alias("saturation"),
+        F.round("confidence", 6).alias("confidence"),
+        "stop_reason",
+    )
+
+
 def q_lsh_self_join(spark, sf_dir):
     """Corpus-vs-corpus near-dup pairs via hyperplane-bucket self-join
     (similarity.lsh_self_join) — the no-broadcast 100 TB dedup shape.
@@ -1462,14 +1607,37 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Rotation ledger (VERDICT r3 #8): every retired registry row and the
+# suite that carries its verified columns/rows now.  test_entry_contract
+# asserts each suite still exposes the retired coverage, so future
+# consolidations cannot silently drop hard-won verification.
+RETIRED_INTO = {
+    # r3 consolidations
+    "keyword_scorer|ctype_scorer|fresh_scorer|domauth_scorer|path_scorer|"
+    "composite_scorer": ("scorer_suite", "one verified column per scorer"),
+    "url_pattern_filter|content_type_filter|domain_filter|url_valid":
+        ("filter_chain", "one verdict column per filter"),
+    "token_count|quality_score|lang_id|stopword_ratio|fingerprint":
+        ("text_stats_suite", "one verified column per text op"),
+    "cosine_topk|ann_lsh_topk":
+        ("similarity_topk", "both methods unioned, same oracles"),
+    # r4 consolidations
+    "normalize_urls": ("normalize_suite", "columns norm_deep + norm_eff"),
+    "normalize_urls_full": ("normalize_suite", "column norm_url"),
+    "wayback_urls": ("domain_sources", "source='wayback' rows, same input"),
+    "crt_hosts": ("domain_sources", "source='crt' rows, same input"),
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry policy (VERDICT r2 #1): the driver grades the FIRST 50
     # entries, so the registry is kept at exactly 50 — redundant
-    # singletons were merged into suite queries (scorer_suite,
-    # filter_chain, text_stats_suite; normalize N2+N3; C7 into
-    # total_score) — and ordered so queries without a driver-green row
-    # in the LAST round grade first (cache_mode has never been
-    # driver-green → position 1).
+    # singletons are merged into suite queries, with RETIRED_INTO (above)
+    # recording where every retired row's coverage lives — and ordered so
+    # queries without a driver-green row in the LAST round grade first.
+    # r4 rotation: normalize_urls + normalize_urls_full → normalize_suite;
+    # wayback_urls + crt_hosts (+ first-time probe/feed sources) →
+    # domain_sources; freed rows spent on adaptive_crawl + ttl_recrawl.
     qs = {
         # --- never / not-recently driver-green ---
         "cache_mode": q_cache_mode,
@@ -1483,16 +1651,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_map": q_domain_map,
         "image_resize": q_image_resize,
         "adaptive_rank_links": q_adaptive_rank_links,
-        # --- new / changed this round ---
+        # --- new / changed in r4 (rotation ledger in RETIRED_INTO) ---
+        "adaptive_crawl": q_adaptive_crawl,
+        "ttl_recrawl": q_ttl_recrawl,
+        "domain_sources": q_domain_sources,
+        "normalize_suite": q_normalize_suite,
+        # --- r3 additions ---
         "phash_near_dup": q_phash_near_dup,
         "similarity_topk": q_similarity_topk,
-        "wayback_urls": q_wayback_urls,
-        "crt_hosts": q_crt_hosts,
         "lsh_self_join": q_lsh_self_join,
         "scorer_suite": q_scorer_suite,
         "filter_chain": q_filter_chain,
         "text_stats_suite": q_text_stats_suite,
-        "normalize_urls": q_normalize_urls,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "url_relevance": q_url_relevance,
         "ann_knn_join": q_ann_knn_join,
@@ -1500,7 +1670,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same oracles unioned) to stay at 50 with phash_near_dup added
         "total_score": q_total_score,
         # --- stable, driver-green in r2 ---
-        "normalize_urls_full": q_normalize_urls_full,
         "sitemap_seeds": q_sitemap_seeds,
         "cc_seeds": q_cc_seeds,
         "robots_allow": q_robots_allow,
@@ -1578,19 +1747,15 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
-        "normalize_urls": f"""
-            SELECT doc_id,
-                   {url} || '?b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1' AS norm_deep,
-                   {url} || '?utm_source=x&b=' || CAST(doc_id % 5 AS VARCHAR)
-                         || '&a=1' AS norm_eff
-            FROM documents
-        """,
-        "normalize_urls_full": f"""
+        "normalize_suite": f"""
             SELECT doc_id,
                    {url} || CASE CAST(doc_id % 4 AS INT)
                      WHEN 0 THEN '?a=1&b=2'
                      WHEN 1 THEN '?a=1&b='
-                     ELSE '' END AS norm_url
+                     ELSE '' END AS norm_url,
+                   {url} || '?b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1' AS norm_deep,
+                   {url} || '?utm_source=x&b=' || CAST(doc_id % 5 AS VARCHAR)
+                         || '&a=1' AS norm_eff
             FROM documents
         """,
         "sitemap_seeds": f"""
@@ -1734,6 +1899,52 @@ def oracle_sql() -> dict[str, str]:
         # Strict DFS replayed pop-by-pop in a recursive CTE (was
         # rows-only through r2; see _dfs_crawl_sql docstring)
         "dfs_crawl": _dfs_crawl_sql(n=40, max_pages=10, max_depth=2),
+        # Re-crawl after TTL expiry: BFS over the OPEN subgraph only —
+        # a node passes the (post-remove) seen anti-join iff it is
+        # stale ((doc_id+6) % 10 < 3, i.e. fetched > 7 days before the
+        # day-9.5 revalidation) or it is the seed (never stored:
+        # start-recrawl quirk); expansion still requires success.
+        "ttl_recrawl": f"""
+            WITH RECURSIVE
+            n AS (SELECT count(*) AS n FROM documents),
+            nodes AS (
+              SELECT doc_id,
+                     (doc_id % 13 <> 0 AND doc_id % 17 <> 0 AND doc_id % 19 <> 0) AS success
+              FROM documents
+            ),
+            reach2(doc_id, depth) AS (
+              SELECT CAST(1 AS BIGINT), 0
+              UNION
+              SELECT CAST((r.doc_id * {BRANCHING} + j) % (SELECT n FROM n) AS BIGINT),
+                     r.depth + 1
+              FROM reach2 r
+              JOIN nodes p ON p.doc_id = r.doc_id AND p.success
+              CROSS JOIN range(1, {BRANCHING} + 1) t(j)
+              WHERE r.depth + 1 <= 2
+                AND ((((r.doc_id * {BRANCHING} + j) % (SELECT n FROM n)) + 6) % 10 < 3
+                     OR (r.doc_id * {BRANCHING} + j) % (SELECT n FROM n) = 1)
+            ),
+            firsts AS (
+              SELECT doc_id, MIN(depth) AS depth FROM reach2
+              WHERE NOT (doc_id = 1 AND depth > 0)
+              GROUP BY doc_id
+            ),
+            start_recrawl AS (
+              SELECT doc_id, MIN(depth) AS depth FROM reach2
+              WHERE doc_id = 1 AND depth > 0
+              GROUP BY doc_id
+            ),
+            emitted AS (
+              SELECT * FROM firsts UNION ALL SELECT * FROM start_recrawl
+            )
+            SELECT {_sql_url('doc_id')} AS url,
+                   CAST(depth AS INT) AS depth,
+                   CAST(CASE WHEN doc_id % 13 = 0 THEN 404
+                             WHEN doc_id % 17 = 0 THEN 429
+                             WHEN doc_id % 19 = 0 THEN 503
+                             ELSE 200 END AS INT) AS status_code
+            FROM emitted
+        """,
         "bfs_reach": f"""
             WITH RECURSIVE
             n AS (SELECT count(*) AS n FROM documents),
@@ -1938,17 +2149,12 @@ def oracle_sql() -> dict[str, str]:
                 1.0), 9) * 1e6) AS BIGINT) AS rel_fp
             FROM sc
         """,
-        # S10 wayback source: on-domain CDX originals survive, the
-        # synthetic off-domain rows (doc_id % 3 = 0) are filtered
-        "wayback_urls": f"""
-            SELECT {url} AS url,
-                   'd' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0
-                                    ELSE doc_id % 7 END AS VARCHAR)
-                       || '.example.com' AS host
-            FROM documents WHERE doc_id % 3 <> 0
-        """,
-        "crt_hosts": """
-            WITH e AS (
+        # S10 per-source suite: wayback (on-domain CDX originals; the
+        # synthetic off-domain doc_id%3=0 rows filtered) + crt (SAN
+        # mining; crt:// synthetic url) + probe (hosts × paths with the
+        # deterministic fetchable subset) + feed (rss/atom href mining)
+        "domain_sources": f"""
+            WITH crt_e AS (
               SELECT doc_id,
                 'd' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS common,
                 CASE CAST(doc_id % 4 AS INT)
@@ -1958,17 +2164,52 @@ def oracle_sql() -> dict[str, str]:
                   ELSE '' END AS sans
               FROM documents
             ),
-            names AS (
+            crt_names AS (
               SELECT UNNEST(string_split(common || chr(10) || sans, chr(10))) AS raw
-              FROM e
+              FROM crt_e
+            ),
+            crt_hosts AS (
+              SELECT DISTINCT
+                CASE WHEN starts_with(h, '*.') THEN substr(h, 3) ELSE h END AS host
+              FROM (SELECT lower(trim(raw)) AS h FROM crt_names)
+              WHERE h <> ''
             ),
             hosts AS (
-              SELECT CASE WHEN starts_with(h, '*.') THEN substr(h, 3) ELSE h END AS host
-              FROM (SELECT lower(trim(raw)) AS h FROM names)
+              SELECT i AS hidx,
+                     'd' || CAST(i AS VARCHAR) || '.example.com' AS host
+              FROM range(7) t(i)
+            ),
+            paths(path) AS (VALUES
+              ('/'), ('/about'), ('/contact'), ('/blog'), ('/docs'),
+              ('/api'), ('/login'), ('/admin'), ('/sitemap.xml'),
+              ('/feed'), ('/rss')
+            ),
+            probes AS (
+              SELECT hidx, host, 'https://' || host || path AS url
+              FROM hosts CROSS JOIN paths
+            ),
+            feeds AS (
+              SELECT host, 'https://' || host || '/feed.xml' AS url FROM hosts
+              WHERE hidx % 3 = 0
+              UNION ALL
+              SELECT host, 'https://feeds.' || host || '/atom' AS url FROM hosts
+              WHERE hidx % 3 = 0
             )
-            SELECT DISTINCT host FROM hosts
-            WHERE host <> ''
-              AND (host = 'example.com' OR host LIKE '%.example.com')
+            SELECT 'wayback' AS source,
+                   'd' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                                    ELSE doc_id % 7 END AS VARCHAR)
+                       || '.example.com' AS host,
+                   {url} AS url
+            FROM documents WHERE doc_id % 3 <> 0
+            UNION ALL
+            SELECT 'crt', host, 'crt://' || host
+            FROM crt_hosts
+            WHERE host = 'example.com' OR host LIKE '%.example.com'
+            UNION ALL
+            SELECT 'probe', host, url FROM probes
+            WHERE (hidx + length(url)) % 3 <> 0
+            UNION ALL
+            SELECT 'feed', host, url FROM feeds
         """,
         # hyperplane signatures recomputed exactly (see _rh_sig_sql) —
         # the approximate join's candidate set is deterministic
@@ -2511,6 +2752,149 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'img-' || CAST(i AS VARCHAR) AS image_id,
                    16 AS out_w, 12 AS out_h
             FROM range(60) t(i)
+        """,
+        # Full recursive replay of the composed AdaptiveCrawler loop:
+        # per-round top-k selection (closed-form gain keys, see
+        # q_adaptive_crawl), KB-order-dependent confidence stream, and
+        # the stop decision — all hash-bound.
+        "adaptive_crawl": """
+            WITH RECURSIVE
+            doc AS (
+              SELECT i,
+                     CASE WHEN i % 2 = 0 AND i > 0 THEN 1 ELSE 0 END AS a,
+                     CASE WHEN i % 3 = 0 AND i > 0 THEN 1 ELSE 0 END AS b
+              FROM range(40) t(i)
+            ),
+            -- pending entries encoded as sortable keys: (600 - gain*600)*1000 + i
+            -- gain*600 = 150*(a+b) + 180/(3+a+b) + 120  (exact integers)
+            rounds(r, kb, pending) AS (
+              SELECT 0,
+                     [CAST(0 AS BIGINT)],
+                     list_sort(list_transform(
+                       [CAST(1 AS BIGINT), 2, 3],
+                       c -> (600 - (150*((CASE WHEN c % 2 = 0 THEN 1 ELSE 0 END)
+                                        + (CASE WHEN c % 3 = 0 THEN 1 ELSE 0 END))
+                                    + 180 // (3 + (CASE WHEN c % 2 = 0 THEN 1 ELSE 0 END)
+                                                + (CASE WHEN c % 3 = 0 THEN 1 ELSE 0 END))
+                                    + 120)) * 1000 + c))
+              UNION ALL
+              SELECT r + 1,
+                     kb || list_transform(pending[1:3], x -> x % 1000),
+                     list_sort(
+                       pending[4:] ||
+                       list_transform(
+                         list_filter(
+                           flatten(list_transform(
+                             list_transform(pending[1:3], x -> x % 1000),
+                             p -> [3*p + 1, 3*p + 2, 3*p + 3])),
+                           c -> c < 40),
+                         c -> (600 - (150*((CASE WHEN c % 2 = 0 THEN 1 ELSE 0 END)
+                                          + (CASE WHEN c % 3 = 0 THEN 1 ELSE 0 END))
+                                      + 180 // (3 + (CASE WHEN c % 2 = 0 THEN 1 ELSE 0 END)
+                                                  + (CASE WHEN c % 3 = 0 THEN 1 ELSE 0 END))
+                                      + 120)) * 1000 + c))
+              FROM rounds
+              WHERE r < 6 AND len(pending) > 0
+            ),
+            kb_docs AS (
+              SELECT r.r,
+                     CAST(u.o - 1 AS BIGINT) AS ord,
+                     r.kb[u.o] AS i
+              FROM rounds r
+              CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(r.kb))) AS o) u
+            ),
+            kd AS (
+              SELECT k.r, k.ord, k.i, d.a, d.b, 3 + d.a + d.b AS n_t
+              FROM kb_docs k JOIN doc d USING (i)
+            ),
+            agg AS (
+              SELECT r, count(*) AS n, sum(a) AS dfa, sum(b) AS dfb FROM kd GROUP BY r
+            ),
+            cov AS (
+              SELECT r,
+                     least(1.0, sqrt((
+                       (CASE WHEN dfa > 0
+                             THEN (dfa / CAST(n AS DOUBLE))
+                                  * (1.0 + 0.5 * ln(1.0 + dfa) / ln(1.0 + n))
+                             ELSE 0.0 END)
+                     + (CASE WHEN dfb > 0
+                             THEN (dfb / CAST(n AS DOUBLE))
+                                  * (1.0 + 0.5 * ln(1.0 + dfb) / ln(1.0 + n))
+                             ELSE 0.0 END)) / 2.0)) AS coverage
+              FROM agg
+            ),
+            pairs AS (
+              SELECT x.r,
+                     (1 + x.a * y.a + x.b * y.b)
+                       / CAST(x.n_t + y.n_t - (1 + x.a * y.a + x.b * y.b) AS DOUBLE) AS jac
+              FROM kd x JOIN kd y ON x.r = y.r AND x.ord < y.ord
+            ),
+            con AS (
+              SELECT a.r,
+                     CASE WHEN a.n < 2 THEN 1.0
+                          ELSE coalesce(p.s, 0.0) / (a.n * (a.n - 1) / 2.0)
+                     END AS consistency
+              FROM agg a LEFT JOIN (SELECT r, sum(jac) AS s FROM pairs GROUP BY r) p
+                ON a.r = p.r
+            ),
+            nt AS (
+              SELECT r, ord,
+                     2 + (CASE WHEN ord = 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN a = 1 AND ord = min(CASE WHEN a = 1 THEN ord END)
+                                                 OVER (PARTITION BY r) THEN 1 ELSE 0 END)
+                       + (CASE WHEN b = 1 AND ord = min(CASE WHEN b = 1 THEN ord END)
+                                                 OVER (PARTITION BY r) THEN 1 ELSE 0 END)
+                     AS nt
+              FROM kd
+            ),
+            sat AS (
+              SELECT a.r,
+                     CASE WHEN a.n < 2 THEN 0.0
+                     ELSE greatest(0.0, least(1.0,
+                       1.0 - (CASE WHEN l.last_nt > 0 THEN l.last_nt ELSE 1 END)
+                           / CAST(CASE WHEN l.first_nt > 0 THEN l.first_nt ELSE 1 END AS DOUBLE)))
+                     END AS saturation
+              FROM agg a JOIN (
+                SELECT r, min_by(nt, ord) AS first_nt, max_by(nt, ord) AS last_nt
+                FROM nt GROUP BY r
+              ) l ON a.r = l.r
+            ),
+            conf AS (
+              SELECT r.r,
+                     a.n AS n_kb,
+                     len(r.pending) AS n_pending,
+                     c.coverage, o.consistency, s.saturation,
+                     0.4 * c.coverage + 0.3 * o.consistency + 0.3 * s.saturation AS confidence
+              FROM rounds r
+              JOIN agg a ON a.r = r.r
+              JOIN cov c ON c.r = r.r
+              JOIN con o ON o.r = r.r
+              JOIN sat s ON s.r = r.r
+            ),
+            flagged AS (
+              SELECT *,
+                     CASE WHEN confidence >= 0.5 THEN 'confidence'
+                          WHEN n_kb >= 20 THEN 'max_pages'
+                          WHEN n_pending = 0 THEN 'no_links'
+                          WHEN saturation >= 0.8 THEN 'saturation'
+                          WHEN r = 6 THEN 'max_depth'
+                          ELSE '' END AS stop_reason
+              FROM conf
+            ),
+            stop_at AS (
+              SELECT coalesce(min(r), 6) AS sr FROM flagged WHERE stop_reason <> ''
+            )
+            SELECT CAST(r AS INT) AS round,
+                   CAST(n_kb AS INT) AS n_kb,
+                   CAST(n_pending AS BIGINT) AS n_pending,
+                   round(coverage, 6) AS coverage,
+                   round(consistency, 6) AS consistency,
+                   round(saturation, 6) AS saturation,
+                   round(confidence, 6) AS confidence,
+                   stop_reason
+            FROM flagged, stop_at
+            WHERE r <= sr
+            ORDER BY r
         """,
         # Derived-boolean oracle: predicts the decode verdicts from the
         # corruption arithmetic (tamper png rows i%11==0; caption i%7==3;

@@ -63,6 +63,16 @@ from crawl4ai_spark.plans.stats import reset_stats_if_inflated
 
 BATCH_SIZE = 10  # bff_strategy.py:19
 
+# BFS fast-path (fuse_stats) checkpoint eagerness knobs — experiment
+# handles for the per-round driver-job budget (VERDICT r3 #1).  With
+# both False the steady-state BFS round submits ONE job (the fused
+# bucket-count/success collect materializes the lazy emit + discovery
+# checkpoints as part of its own stages) instead of three.  Strict/
+# batched micro-loops are NOT governed by these (they measured slower
+# deferred — see _checkpoint's r3 note).
+BFS_EAGER_EMIT = False
+BFS_EAGER_DISCOVERY = False
+
 RESULT_SCHEMA = T.StructType(
     [
         T.StructField("emit_seq", T.LongType()),
@@ -136,6 +146,12 @@ class CrawlSpec:
     # own memory management, the default).  BFS only; ignored when a
     # politeness spec already bounds the round.
     max_round_size: int | None = None
+    # pre-built URL-seen store to resume membership from (TTL re-crawl
+    # composition, operators/recrawl.py: build the store once, remove()
+    # the expired urls, crawl again WITHOUT rebuilding the filter — the
+    # whole point of deletable cuckoo segments).  BFS only; overrides
+    # seen_mode.
+    seen_store: object = None
     # cooperative cancellation callback (reference bfs_strategy.py:
     # 84-131): checked between rounds (per level for BFS/BFF, per URL
     # for strict DFS); a truthy return stops the crawl.  Exceptions
@@ -252,6 +268,8 @@ class CrawlEngine:
                 )
             self._run_bfs(start_url)
             return self.results()
+        if self.spec.seen_store is not None and self.spec.strategy != "bfs":
+            raise ValueError("seen_store injection is supported for BFS only")
         seeds = [start_url] if isinstance(start_url, str) else list(start_url)
         if self.spec.strategy == "bfs":
             self._run_bfs(seeds)
@@ -481,7 +499,8 @@ class CrawlEngine:
     def _run_bfs(self, seeds: list[str]) -> None:
         spark = self.spark
         spec = self.spec
-        seen = self._make_seen()  # BFS visited: discovery-time set, seeds NOT included
+        # BFS visited: discovery-time set, seeds NOT included
+        seen = spec.seen_store if spec.seen_store is not None else self._make_seen()
         self.seen_store = seen
         rs = spec.resume_state
         if rs:
@@ -651,6 +670,18 @@ class CrawlEngine:
                 # ranks start exactly at the updated emit counter and every
                 # frontier row is fetched+emitted.  emit_seq == seq, so the
                 # global rank is skipped entirely.
+                # Fast path (max_pages unbounded): the checkpoint is LAZY —
+                # the round's single fused collect below materializes these
+                # blocks inside its own stages, saving one driver job per
+                # round (the per-job floor is the scaling-efficiency tax).
+                # The capacity path keeps it eager: its stats collect and
+                # cumsum window read emitted before discovery exists.
+                emit_eager = (
+                    BFS_EAGER_EMIT
+                    or spec.max_pages != math.inf
+                    or spec.on_state_change is not None
+                    or spec.checkpoint_dir is not None
+                )
                 emitted = self._checkpoint(
                     fetched.withColumn("emit_seq", F.col("seq"))
                     .withColumn("round", F.lit(round_no))
@@ -659,7 +690,8 @@ class CrawlEngine:
                         "score", "success", "status_code",
                         F.lit(0).cast("int").alias("retry_count"),
                         "links",
-                    )
+                    ),
+                    eager=emit_eager,
                 )
             else:
                 emitted = self._emit(
@@ -864,6 +896,14 @@ class CrawlEngine:
             # partitioning — a stats reset would forget it and re-shuffle
             shuffled = self._checkpoint(
                 trimmed.withColumn("__b", bucket).repartition(n_parts, "__b"),
+                # fast path: lazy — the fused collect below is this
+                # round's ONE job and materializes the blocks itself
+                eager=(
+                    BFS_EAGER_DISCOVERY
+                    or not fuse_stats
+                    or spec.on_state_change is not None
+                    or spec.checkpoint_dir is not None
+                ),
                 reset_stats=False,
             )
             if spec.max_pages == math.inf:

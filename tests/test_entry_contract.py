@@ -16,6 +16,32 @@ def test_oracle_keys_subset_of_queries():
     assert rows_only == set()
 
 
+def test_suites_carry_retired_coverage(spark):
+    """Every RETIRED_INTO target exists and still exposes the retired
+    rows/columns (VERDICT r3 #8: consolidation must not drop hard
+    coverage)."""
+    q = entry_mod.queries()
+    for _, (suite, _) in entry_mod.RETIRED_INTO.items():
+        assert suite in q, suite
+    sf = "/root/testdata/sf0.001"
+    norm = q["normalize_suite"](spark, sf)
+    assert {"norm_url", "norm_deep", "norm_eff"} <= set(norm.columns)
+    ds = q["domain_sources"](spark, sf)
+    srcs = {r["source"] for r in ds.select("source").distinct().collect()}
+    assert srcs == {"wayback", "crt", "probe", "feed"}
+    suite_cols = {
+        "scorer_suite": {"kw_score", "ctype_score", "fresh_score",
+                         "domauth_score", "depth_score", "comp_score"},
+        "filter_chain": {"pat_pass", "ctype_pass", "dom_pass", "valid_pass",
+                         "chain_pass"},
+        "text_stats_suite": {"n_tokens", "quality", "lang_pred", "stop_ratio",
+                             "fp"},
+    }
+    for name, cols in suite_cols.items():
+        have = set(q[name](spark, sf).columns)
+        assert cols <= have, (name, cols - have)
+
+
 def test_entry_runs_and_has_rows(spark):
     df = entry_mod.entry(spark)
     assert df.columns == [
