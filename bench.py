@@ -181,6 +181,41 @@ def main() -> None:
         # once and alternates single crawls, so each efficiency pair is
         # adjacent in time — slow box-contention drift cancels inside the
         # pair instead of hitting the two levels minutes apart.
+        #
+        # jvm_cpu_s: utime+stime of the local-mode JVM around each crawl
+        # (driver + executor threads are one process in local mode;
+        # python-worker CPU is excluded but is <1% post-r4 — the hybrid
+        # normalizer keeps the corpus's href classes JVM-side).  The
+        # orchestrator uses it to separate CYCLE SUPPLY from engine
+        # structure: r4 measured that identical logical work costs up to
+        # ~1.5-1.9x the CPU-seconds as total busy vCPUs rise (a host
+        # effect invisible to /proc/stat steal), which caps the raw
+        # urls/s ratio regardless of plan quality.
+        def _jvm_pid() -> str | None:
+            me = str(os.getpid())
+            import glob as _g
+            for d in _g.glob("/proc/[0-9]*"):
+                try:
+                    with open(d + "/stat") as f:
+                        parts = f.read().split()
+                    if parts[3] == me and "java" in parts[1]:
+                        return d.split("/")[2]
+                except OSError:
+                    continue
+            return None
+
+        _jpid = _jvm_pid()
+        _tck = os.sysconf("SC_CLK_TCK")
+
+        def _jvm_cpu() -> float | None:
+            if _jpid is None:
+                return None
+            try:
+                parts = open(f"/proc/{_jpid}/stat").read().split()
+                return (int(parts[13]) + int(parts[14])) / _tck
+            except OSError:
+                return None
+
         print(json.dumps({
             "ready": True, "cpus": CPUS,
             "corpus_pages": n_corpus, "seeds": len(seeds),
@@ -188,12 +223,18 @@ def main() -> None:
         for line in sys.stdin:
             if line.strip() != "crawl":
                 break
+            c0 = _jvm_cpu()
             t0 = time.time()
             n_emitted = bfs()
             wall = round(time.time() - t0, 3)
+            c1 = _jvm_cpu()
             print(json.dumps({
                 "wall_s": wall, "urls": n_emitted,
                 "urls_per_sec": round(n_emitted / wall, 2), "cpus": CPUS,
+                "jvm_cpu_s": (
+                    round(c1 - c0, 2) if c0 is not None and c1 is not None
+                    else None
+                ),
             }), flush=True)
         return
 
@@ -344,6 +385,57 @@ def main() -> None:
     extras["image_crawl_pages_validated"] = timed("image_crawl", image_crawl)
     extras["image_crawl_urls_per_sec"] = round(
         extras["image_crawl_pages_validated"] / timings["image_crawl"], 2
+    )
+
+    # --- q2f: hot-domain-skew scheduling (SURVEY §2.4 / north-rule skew) ----
+    # The politeness split keys its budget windows on `domain`.  The
+    # synthetic corpus's even doc_ids all live on d0, so a seed set of
+    # all ids gives a frontier with ~50% of rows on ONE domain (the
+    # judge's skew shape); odd ids spread ~1/7 per domain (uniform
+    # comparator).  Budgets are made binding (round_duration=600 ⇒
+    # 200-600 URLs/domain/round) so the wall measures the SCHEDULING
+    # machinery — the salted two-phase top-k over a 200k-row frontier —
+    # not fetch volume, and exactly 2 rounds run in every variant
+    # (max_rounds).  Three walls:
+    #   skew_sched_uniform  — uniform frontier, salted (baseline)
+    #   skew_sched_hot      — 50%-hot frontier, salted (criterion:
+    #                         ≤1.5x the uniform wall)
+    #   skew_sched_hot_nosalt — same hot frontier, salt_n=1: the naive
+    #                         single-window plan, recorded so the
+    #                         salting effect is observable
+    from crawl4ai_spark.operators.politeness import PolitenessSpec
+
+    n_sk = min(200_000, n_corpus // 2)
+
+    def _sched_crawl(seed_ids_col, salt_n):
+        sseeds = spark.range(0, n_sk).select(
+            corpus.canonical_url_col(seed_ids_col).alias("url")
+        )
+        eng = CrawlEngine(
+            spark,
+            pages,
+            CrawlSpec(
+                max_depth=0,
+                strategy="bfs",
+                max_rounds=2,
+                politeness=PolitenessSpec(round_duration=600.0, salt_n=salt_n),
+            ),
+        )
+        return eng.run(sseeds).count()
+
+    uniform_ids = (F.col("id") * 2 + 1) % n_corpus     # odd → ~1/7 per domain
+    hot_ids = F.col("id") % n_corpus                   # all → ~50% on d0
+    extras["skew_uniform_scheduled"] = timed(
+        "skew_sched_uniform", lambda: _sched_crawl(uniform_ids, None)
+    )
+    extras["skew_hot_scheduled"] = timed(
+        "skew_sched_hot", lambda: _sched_crawl(hot_ids, None)
+    )
+    extras["skew_hot_nosalt_scheduled"] = timed(
+        "skew_sched_hot_nosalt", lambda: _sched_crawl(hot_ids, 1)
+    )
+    extras["skew_hot_over_uniform"] = round(
+        timings["skew_sched_hot"] / timings["skew_sched_uniform"], 3
     )
 
     # --- q3: URL normalization throughput (Arrow UDF path) ------------------

@@ -259,6 +259,39 @@ def _fast_parts(href: Column, base_url: Column):
     h = F.trim(href)
     nofrag = F.substring_index(h, "#", 1)
     has_query = nofrag.contains("?")
+    # Simple single-pair query: exactly one '?', one key=value pair whose
+    # key and value use only unreserved chars ([A-Za-z0-9_.~-]).  For this
+    # subset the reference's parse_qs → drop-tracking → urlencode(doseq)
+    # round-trip (utils.py:2317-2373) reduces to a Column decision:
+    #   - value empty        → parse_qs drops the pair      → query ''
+    #   - key in TRACKING    → deleted                      → query ''
+    #   - otherwise          → pair survives byte-for-byte  → query kept
+    # (parse_qs %-decodes and '+'-decodes, urlencode re-quotes via
+    # quote_plus; unreserved chars are fixed points of both, '=' '&' '%'
+    # '+' and anything else fall to the UDF.)  At web scale this covers
+    # the dominant query-bearing link classes (?page=2, ?utm_source=x,
+    # ?id=123) without the JVM→Arrow→Python bridge, which profiling
+    # showed capping multi-core scaling (see BENCH_SCALING.md r4).
+    # All query-pieces are guarded by when(has_query, ...): CaseWhen
+    # branches evaluate lazily at runtime, so the ~75% of anchors with
+    # no '?' never pay the regex (these expressions are inlined into
+    # every downstream consumer of norm_url, so per-row cost here is
+    # multiplied — keep it minimal).
+    q_ok = F.when(
+        has_query,
+        nofrag.rlike(r"^[^?]*\?[A-Za-z0-9_.~-]+=[A-Za-z0-9_.~-]*$"),
+    ).otherwise(F.lit(True))
+    # the pieces below are only consumed on rows simple_query admitted,
+    # where there is exactly one '?' and one '=' — substring_index is
+    # exact there (and garbage-but-unread elsewhere)
+    qraw = F.substring_index(nofrag, "?", -1)
+    qkey = F.substring_index(qraw, "=", 1)
+    qval = F.substring_index(qraw, "=", -1)
+    q_suffix = F.when(
+        has_query & (qval != "") & ~qkey.isin(*TRACKING_PARAMS),
+        F.concat(F.lit("?"), qraw),
+    ).otherwise(F.lit(""))
+    nofrag_noq = F.substring_index(nofrag, "?", 1)
     is_http_abs = nofrag.rlike(r"^(?i)https?://")
     # single leading slash (not protocol-relative //host)
     is_root_rel = nofrag.rlike(r"^/(?!/)")
@@ -272,13 +305,15 @@ def _fast_parts(href: Column, base_url: Column):
     # must fall to the UDF path: urljoin collapses them when resolving a
     # relative reference, but the fast expression concatenates the path
     # verbatim.  (Absolute http(s) hrefs legitimately KEEP dot-segments —
-    # urljoin returns an absolute href unchanged.)
-    has_dot_segment = nofrag.rlike(r"/\.\.?(/|$)")
+    # urljoin returns an absolute href unchanged.)  A dot-segment can
+    # also end at the query separator ('/a/..?x=1'), so '?' terminates
+    # the match like '/' or end-of-string.
+    has_dot_segment = nofrag.rlike(r"/\.\.?(/|[?]|$)")
     # coalesce → false so a NULL base (or NULL href) routes to the UDF
     # fallback instead of vanishing from both filter branches.
     eligible = F.coalesce(
         href.isNotNull()
-        & ~has_query
+        & q_ok
         & (
             is_http_abs
             | (is_root_rel & ~has_dot_segment & (b_scheme != "") & (b_netloc != ""))
@@ -293,8 +328,9 @@ def _fast_parts(href: Column, base_url: Column):
         F.concat(
             scheme, F.lit("://"), netloc,
             F.when(path_abs == "", F.lit("/")).otherwise(path_abs),
+            q_suffix,
         ),
-    ).otherwise(F.concat(b_scheme, F.lit("://"), b_netloc, nofrag))
+    ).otherwise(F.concat(b_scheme, F.lit("://"), b_netloc, nofrag_noq, q_suffix))
     return eligible, fast
 
 
@@ -335,9 +371,15 @@ def with_normalized(
     the bridge anyway.
 
     At web scale the overwhelming majority of anchors are plain
-    absolute or root-relative links without query strings, so the
-    Python fallback sees only the long tail (query-bearing, special
-    schemes, dot-segments, protocol-relative, empty).
+    absolute or root-relative links with no query string or a single
+    simple key=value pair (?page=2, ?utm_source=x) — all JVM-eligible —
+    so the Python fallback sees only the long tail (multi-param or
+    escaped queries, special schemes, dot-segments, protocol-relative,
+    empty).  r4 measured the bridge not just as per-row cost but as a
+    multi-core scaling cap: the ArrowEvalPython stage running
+    concurrently with the discovery's JVM stage inflated that stage's
+    CPU ~2x at local[4] (cache/TLB pressure from 2x the busy threads),
+    so rows kept out of Python pay off twice at high parallelism.
     """
     href, base = F.col(href_col), F.col(base_col)
     eligible = normalize_eligible_fast(href, base)

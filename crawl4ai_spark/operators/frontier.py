@@ -188,7 +188,17 @@ class CrawlEngine:
         """
         spark = pages.sparkSession
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        return pages.select(*cls.FETCH_COLS).repartition(n, "url").persist()
+        # sortWithinPartitions: InMemoryRelation preserves outputOrdering,
+        # so every round's sort-merge fetch join streams the cached
+        # corpus with NO per-round sort — only the (small) frontier side
+        # sorts.  Equivalent to bucketing AND sorting the Iceberg pages
+        # table by url.
+        return (
+            pages.select(*cls.FETCH_COLS)
+            .repartition(n, "url")
+            .sortWithinPartitions("url")
+            .persist()
+        )
 
     def __init__(self, spark: SparkSession, pages: DataFrame, spec: CrawlSpec):
         self.spark = spark
@@ -330,15 +340,17 @@ class CrawlEngine:
         """Truncate lineage via localCheckpoint.
 
         ``eager=False`` defers materialization to the first job that
-        reads the result.  NOTE (r3, measured): deferring the round
-        loops' checkpoints looks like it should fuse per-round jobs
-        into the stats collect, but in practice it ran the strict/
-        batched loops 1.7-2x SLOWER at sf0.1 — the first reader is
-        often a broadcast-exchange build thread, and downstream
-        branches (stats crossJoin sides, queue anti-join) then
-        race-recompute the un-pinned plan instead of reading blocks.
-        The loops therefore checkpoint eagerly; job-count structure is
-        pinned by tests/test_job_budget.py.
+        reads the result.  Lazy is only safe when the FIRST reader is a
+        single-branch job that computes EVERY partition (a collect, an
+        eager checkpoint, a full-frame agg — or a head(1) over a plan
+        that is provably one partition).  NOTE (r3, measured): naively
+        deferring the strict loops' checkpoints ran them 1.7-2x SLOWER —
+        the broadcast-probe fetch reads the frontier twice (keys build
+        thread + probe), so the un-pinned plan was race-recomputed.  r4
+        resolved it by pairing lazy pop checkpoints with the single-read
+        fetch plan (``_fetch(single_read=True)``) so each round's slim
+        collect is the sole materializer; job-count structure is pinned
+        by tests/test_job_budget.py.
 
         ``reset_stats``: localCheckpoint PRESERVES the estimated plan
         stats, and in a round loop the estimate squares every round
@@ -374,7 +386,10 @@ class CrawlEngine:
     BROADCAST_FETCH_MAX_ROWS = 2_000
 
     def _fetch(
-        self, frontier: DataFrame, n_rows_hint: int | None = None
+        self,
+        frontier: DataFrame,
+        n_rows_hint: int | None = None,
+        single_read: bool = False,
     ) -> DataFrame:
         """frontier ⋈ corpus (left) + robots gate. Missing page ⇒
         failed result (arun on unreachable URL returns success=False).
@@ -390,8 +405,20 @@ class CrawlEngine:
         corpus sort/shuffle/broadcast), (2) left-join the frontier
         against the ≤ n_rows_hint surviving page rows, themselves
         broadcast — a legal BuildRight outer join.  Output is identical
-        to the direct left join (corpus urls are unique)."""
-        if (
+        to the direct left join (corpus urls are unique).
+
+        ``single_read=True`` forces the direct partitioned left join
+        instead, which reads the frontier plan exactly ONCE.  The
+        broadcast-probe plan reads it twice (keys build + probe), so a
+        frontier whose lineage contains a LAZY localCheckpoint would be
+        race-recomputed by the broadcast-build thread — the r3 pathology
+        that made deferred checkpoints slower (_checkpoint's note).  The
+        strict loops use this so the whole round fuses into the one
+        collect that materializes the lazy parts; per-action cost is
+        within noise of the probe plan (0.34 vs 0.28 s at 500k pages)
+        now that the cached corpus is sorted within partitions (no
+        per-round corpus sort — see prepare_pages)."""
+        if not single_read and (
             n_rows_hint is not None
             and n_rows_hint <= self.BROADCAST_FETCH_MAX_ROWS
         ):
@@ -445,11 +472,32 @@ class CrawlEngine:
 
     def _discover_candidates(
         self, parents: DataFrame, carry: tuple = (), n_parents_hint: int = 0,
+        defer_url_filters: bool = False,
     ) -> DataFrame:
         """explode links → normalize → validity + filter chain + score.
 
         ``parents`` needs: url (source), emit_seq, depth, links.
         Returns: norm_url, parent_url, next_depth, link_idx, emit_seq, score.
+
+        ``defer_url_filters=True`` skips the validity/filter-chain/score
+        steps (and the norm_url isNotNull guard): the caller applies
+        ``_url_filters_and_score`` AFTER the first-occurrence dedupe
+        instead.  Legal because every one of those predicates (and the
+        score) is a pure Column function of ``norm_url`` — the dedupe
+        key — so all occurrences of a key pass or fail together: the
+        set of surviving keys AND the chosen first-occurrence
+        representative per key are identical whether the filter runs
+        before or after the dedupe window.  (The ``next_depth`` guard
+        is NOT key-pure — deferred/governor rows mix depths within a
+        round — so it always stays here, pre-dedupe.)  The win is
+        plan-shape (r4, measured): Catalyst's filter pushdown inlines
+        the whole normalize expression into every predicate that
+        consumes ``norm_url`` (validity regexes, chain, 4 scorer
+        regexes ⇒ 6-8 re-evaluations per candidate row); after the
+        dedupe exchange ``norm_url`` is a concrete attribute and the
+        row count has collapsed by the graph's in-degree (~3-4x), so
+        the predicates run ONCE per unique URL — this halved the
+        per-round discovery CPU on the scaling workload.
         """
         spec = self.spec
         do_repart = (
@@ -476,12 +524,22 @@ class CrawlEngine:
         ).filter(F.col("link").isNotNull())
         if not spec.include_external:
             linked = linked.filter(~F.col("link.is_external"))
-        cand = with_normalized(linked, "link.href", "src_url").filter(
-            F.col("norm_url").isNotNull()
-        )
+        cand = with_normalized(linked, "link.href", "src_url")
         cand = cand.withColumn("next_depth", F.col("depth") + 1).filter(
             F.col("next_depth") <= spec.max_depth
         )
+        if defer_url_filters:
+            return cand
+        return self._url_filters_and_score(
+            cand.filter(F.col("norm_url").isNotNull())
+        )
+
+    def _url_filters_and_score(self, cand: DataFrame) -> DataFrame:
+        """Validity + filter chain + score (+ threshold) over norm_url —
+        the key-pure tail of discovery; see ``_discover_candidates``'s
+        ``defer_url_filters`` note for why callers may apply it after
+        the dedupe window instead of inline."""
+        spec = self.spec
         ok = valid_crawl_url(F.col("norm_url")) & spec.filter_chain.column(
             F.col("norm_url")
         )
@@ -810,6 +868,7 @@ class CrawlEngine:
             t0 = time.time()
             cand = self._discover_candidates(
                 parents, carry=carry, n_parents_hint=n_round,
+                defer_url_filters=True,
             )
             cand = seen.anti_join(cand, "norm_url")
             # first-occurrence dedupe within the level == the reference's
@@ -820,6 +879,12 @@ class CrawlEngine:
                 .filter(F.col("first_rk") == 1)
                 .drop("first_rk")
             )
+            # deferred key-pure predicates + score: once per UNIQUE url,
+            # on the post-exchange attribute (see _discover_candidates).
+            # Before seen.add in every branch below, so invalid URLs
+            # never enter visited (reference filters before visited.add,
+            # bfs_strategy.py:170-186).
+            deduped = self._url_filters_and_score(deduped)
             if spec.max_pages != math.inf:
                 # parity path: the seen set takes ALL deduped (pre-trim)
                 # rows — trimmed-off URLs are never crawled later
@@ -1364,9 +1429,21 @@ class CrawlEngine:
             # collapsing AFTER the join (shuffle of ≤ batch_size rows)
             # keeps the corpus scan parallel while giving downstream
             # readers — the discovery Arrow UDF above all — one task
-            # instead of 32 Python-worker spawns per round
+            # instead of 32 Python-worker spawns per round.
+            # LAZY checkpoint + single-read fetch (r4): the slim collect
+            # below is the round's ONE job — it materializes batch_full
+            # (and, transitively, the previous round's lazy new_items
+            # part riding in the queue plan) in its own stages.  The
+            # fetch must be single_read: the broadcast-probe plan's
+            # keys-build thread would race-recompute the un-pinned plan
+            # (the r3 lazy-checkpoint regression).  Every later consumer
+            # (queue anti-join, seen.add, the emit/parents filters) runs
+            # strictly after the collect and reads pinned blocks.
             batch_full = self._checkpoint(
-                self._fetch(popped, n_rows_hint=spec.batch_size).repartition(1)
+                self._fetch(
+                    popped, n_rows_hint=spec.batch_size, single_read=True
+                ).repartition(1),
+                eager=False,
             )
             slim = batch_full.select(
                 "enq_round", "enq_seq", "pop_rn", "__dup", "__qsz", "success"
@@ -1463,8 +1540,15 @@ class CrawlEngine:
             )
             # checkpoint the (small) new_items part: every later pop
             # reuses it without re-running the discovery pipeline (which
-            # crosses the Arrow UDF bridge)
-            new_items = self._checkpoint(new_items)
+            # crosses the Arrow UDF bridge).  LAZY (r4): its single
+            # first reader is the next round's pop collect (the rank
+            # window reads the whole queue, so every partition
+            # materializes inside that job) — the discovery pipeline
+            # becomes stages of next round's one job instead of its own
+            # driver job.  The periodic queue checkpoint / snapshot
+            # paths also read it whole, so no partial-materialization
+            # hazard exists on any path.
+            new_items = self._checkpoint(new_items, eager=False)
 
             self._pages_crawled += n_success
             self._result_parts.append(emitted.drop("links"))
@@ -1553,14 +1637,19 @@ class CrawlEngine:
             # row that turns out visited/over-depth is a wasted 1-row
             # join; the skip itself stays driver-side as before.
             top_full = self._fetch(
-                stack.orderBy(F.desc("pos")).limit(1), n_rows_hint=1
+                stack.orderBy(F.desc("pos")).limit(1), n_rows_hint=1,
+                single_read=True,
             )
             if spec.scorer is not None:
                 # dfs_strategy.py:88-90: popped URL is re-scored
                 top_full = top_full.withColumn(
                     "score", spec.scorer.column(F.col("url"))
                 )
-            top_full = self._checkpoint(top_full.repartition(1))
+            # lazy + single-read fetch (r4, same shape as the BFF pop):
+            # the collect below is the pop's ONE job and materializes
+            # the checkpoint itself; single_read keeps the un-pinned
+            # plan out of any broadcast-build thread.
+            top_full = self._checkpoint(top_full.repartition(1), eager=False)
             top = top_full.select("pos", "url", "depth", "success").collect()
             if not top:
                 break
@@ -1703,12 +1792,13 @@ class CrawlEngine:
           reference's overflow score-sort quirk is strict-mode-only —
           batched pushes in discovery order).
 
-        Per round: 2 heavy driver actions (pop+dedupe+fetch checkpoint,
-        discovery checkpoint) plus two trivial cached reads (the slim
-        batch collect and the valid-count head) amortized over
-        ``batch_size`` URLs — vs per-URL actions in strict mode.  (A
-        lazy-checkpoint fusion into fewer jobs measured 1.7-2x SLOWER —
-        see ``_checkpoint``.)
+        Per round: 2 driver jobs (r4) — the slim batch collect, which
+        materializes the lazy pop+dedupe+fetch checkpoint in its own
+        stages, and the valid-count head(1), which materializes the
+        lazy single-partition discovery checkpoint — amortized over
+        ``batch_size`` URLs, vs per-URL actions in strict mode.  (The
+        r3 lazy-checkpoint regression was the broadcast-probe fetch
+        race; single_read fetch removed it — see ``_checkpoint``.)
         """
         spark = self.spark
         spec = self.spec
@@ -1791,13 +1881,20 @@ class CrawlEngine:
                 | (F.row_number().over(w_first) > 1)
                 | (F.col("depth") > F.lit(spec.max_depth)),
             ).drop("__seen")
-            fetched_all = self._fetch(popped, n_rows_hint=spec.batch_size)
+            fetched_all = self._fetch(
+                popped, n_rows_hint=spec.batch_size, single_read=True
+            )
             if spec.scorer is not None:
                 # dfs_strategy.py:88-90: popped URL is re-scored
                 fetched_all = fetched_all.withColumn(
                     "score", spec.scorer.column(F.col("url"))
                 )
-            batch_full = self._checkpoint(fetched_all.repartition(1))
+            # lazy + single-read fetch: the slim collect is the pop
+            # side's ONE job and materializes the checkpoint itself
+            # (see _run_bff's note on the r3 broadcast-thread race)
+            batch_full = self._checkpoint(
+                fetched_all.repartition(1), eager=False
+            )
             slim = batch_full.select(
                 "pos", "pop_rn", "__dup", "success"
             ).collect()
@@ -1888,11 +1985,18 @@ class CrawlEngine:
                 if spec.scorer
                 else [F.asc("emit_seq"), F.asc("link_idx")]
             )
+            # lazy when the rank took the single-window path (the plan
+            # is then exactly ONE partition, so the head(1) below is its
+            # sole first reader and materializes it whole — no partial-
+            # materialization hazard); the two-phase path checkpoints
+            # eagerly inside with_global_rank already
+            from crawl4ai_spark.operators import ordering as _ord
             deduped = self._checkpoint(
                 with_global_rank(
                     uniq, score_order, "__score_rn",
                     n_rows_hint=spec.batch_size * 4, total_col="__nv",
-                )
+                ),
+                eager=spec.batch_size * 4 >= _ord.TWO_PHASE_THRESHOLD,
             )
             dfs_seen.add(deduped.select(F.col("norm_url").alias("url")))
 

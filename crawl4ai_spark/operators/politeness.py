@@ -63,6 +63,12 @@ class PolitenessSpec:
     max_retries: int = 3
     round_duration: float = 30.0
     seed: int = 42
+    # salt buckets for the two-phase hot-domain top-k in split_budget;
+    # None → defaultParallelism.  1 disables salting (single exact
+    # window per domain) — exists so the skew bench can show the
+    # naive plan's straggler against the salted plan on the same
+    # frontier (SURVEY.md §2.4 skew note).
+    salt_n: int | None = None
 
     def initial_delay(self, domain: str) -> float:
         return self.base_lo + (self.base_hi - self.base_lo) * _unit(
@@ -156,7 +162,9 @@ class PolitenessState:
         from pyspark.sql import Window
 
         spec = self.spec
-        salt_n = salt_n or self.spark.sparkContext.defaultParallelism
+        salt_n = (
+            salt_n or spec.salt_n or self.spark.sparkContext.defaultParallelism
+        )
         fr = self._with_delay(frontier).filter(~F.col("retired"))
         budget = F.greatest(
             F.lit(1),

@@ -199,8 +199,25 @@ HYBRID_CASES = [
     ("//proto.relative.com/x", "https://base.com/"),       # → UDF path
     ("relative/path", "https://base.com/dir/"),            # → UDF path
     ("../up", "https://base.com/a/b/"),                    # → UDF path
-    ("https://example.com/q?utm_source=x&b=2&a=1", "https://base.com/"),
-    ("https://example.com/q?a=1#f", "https://base.com/"),
+    ("https://example.com/q?utm_source=x&b=2&a=1", "https://base.com/"),  # multi-pair → UDF
+    ("https://example.com/q?a=1#f", "https://base.com/"),   # fast: simple query kept
+    # -- simple-query fast path (r4): single unreserved key=value pair --
+    ("https://example.com/q?page=2", "https://base.com/"),          # kept
+    ("https://example.com/q?utm_source=feed", "https://base.com/"), # tracking → dropped
+    ("https://example.com/q?ref=nav", "https://base.com/"),         # tracking → dropped
+    ("https://example.com/q?UTM_SOURCE=x", "https://base.com/"),    # case-sensitive: KEPT
+    ("https://example.com/q?k=", "https://base.com/"),              # blank value → dropped
+    ("https://example.com?a=1", "https://base.com/"),               # empty path → /?a=1
+    ("/doc?page=2", "https://base.com/x"),                          # root-rel + query kept
+    ("/doc?utm_source=feed#frag", "https://d0.example.com/p"),      # root-rel + drop + frag
+    ("/a/..?x=1", "https://base.com/"),                  # dot-seg before query → UDF
+    ("https://example.com/q?a=b=c", "https://base.com/"),           # '=' in value → UDF
+    ("https://example.com/q?a=b&", "https://base.com/"),            # trailing & → UDF
+    ("https://example.com/q?a%20b=1", "https://base.com/"),         # %-escape → UDF
+    ("https://example.com/q?a=b+c", "https://base.com/"),           # '+' decode → UDF
+    ("https://example.com/q?", "https://base.com/"),                # bare '?' → UDF
+    ("https://example.com/q?x", "https://base.com/"),               # no '=' → UDF
+    ("https://example.com/a?x=1?y=2", "https://base.com/"),         # two '?' → UDF
     ("mailto:x@y.com", "https://base.com/"),               # → UDF path
     ("", "https://base.com/"),
     (None, "https://base.com/"),
@@ -222,3 +239,36 @@ def test_with_normalized_matches_python(spark):
     }
     for i, (h, b) in enumerate(HYBRID_CASES):
         assert out[i] == normalize_url_for_deep_crawl(h, b), (h, b)
+
+
+def test_simple_query_routes_to_fast_branch(spark):
+    """The r4 simple-query classes must actually take the JVM branch
+    (the parity test alone would pass even if they all fell to the
+    UDF); conversely the known-unsafe query shapes must NOT."""
+    from crawl4ai_spark.functions.normalize import normalize_eligible_fast
+
+    fast_expected = {
+        "https://example.com/q?page=2": True,
+        "https://example.com/q?utm_source=feed": True,
+        "https://example.com/q?k=": True,
+        "/doc?page=2": True,
+        "/a/..?x=1": False,
+        "https://example.com/q?a=b=c": False,
+        "https://example.com/q?a=1&b=2": False,
+        "https://example.com/q?a%20b=1": False,
+        "https://example.com/q?a=b+c": False,
+        "https://example.com/q?": False,
+        "https://example.com/q?x": False,
+        "https://example.com/a?x=1?y=2": False,
+    }
+    df = spark.createDataFrame(
+        [(h, "https://base.com/x") for h in fast_expected], "href string, base string"
+    )
+    got = {
+        r["href"]: r["e"]
+        for r in df.select(
+            "href",
+            normalize_eligible_fast(F.col("href"), F.col("base")).alias("e"),
+        ).collect()
+    }
+    assert got == fast_expected

@@ -139,6 +139,7 @@ def main():
     # that finished inside the N window (+ the in-flight one is kept if
     # it overlaps the window by >=80% of its own wall).
     pairs, runs_n, runs_4n, steals, n_inside = [], [], [], [], []
+    cpu_n, cpu_4n, kappas, effs_norm = [], [], [], []
     for i in range(reps):
         busy0, steal0 = _read_stat()
         res: dict = {}
@@ -164,12 +165,17 @@ def main():
         busy1, steal1 = _read_stat()
 
         kept = []
+        kept_cpu = []
         for t0, t1_, r in hi_runs:
             overlap = min(t1_, t_end) - max(t0, t_start)
             if overlap >= 0.8 * (t1_ - t0):
                 kept.append(r["urls_per_sec"])
+                if r.get("jvm_cpu_s"):
+                    kept_cpu.append(r["jvm_cpu_s"])
         if not kept and hi_runs:
             kept = [hi_runs[0][2]["urls_per_sec"]]
+            if hi_runs[0][2].get("jvm_cpu_s"):
+                kept_cpu = [hi_runs[0][2]["jvm_cpu_s"]]
 
         rn = res["n"]
         ups_4n = statistics.median(kept)
@@ -178,12 +184,27 @@ def main():
         n_inside.append(len(kept))
         eff = round(ups_4n / rn["urls_per_sec"] / 4, 3)
         pairs.append(eff)
+        # work-inflation factor: CPU-seconds the 4N JVM burned for ONE
+        # crawl over the N JVM's CPU-seconds for the IDENTICAL crawl.
+        # kappa > 1 means the host delivered fewer cycles per unit of
+        # work at higher occupancy (SMT/power/overcommit on the host —
+        # NOT visible as steal); eff_norm = eff * kappa is the
+        # cycle-supply-corrected structural efficiency (what the plan
+        # shape/barriers/stragglers cost, net of host cycle deflation).
+        kap = eff_n = None
+        if kept_cpu and rn.get("jvm_cpu_s"):
+            kap = round(statistics.median(kept_cpu) / rn["jvm_cpu_s"], 3)
+            eff_n = round(eff * kap, 3)
+            cpu_n.append(rn["jvm_cpu_s"])
+            cpu_4n.append(round(statistics.median(kept_cpu), 2))
+            kappas.append(kap)
+            effs_norm.append(eff_n)
         steal_pct = round(100.0 * (steal1 - steal0) / max(busy1 - busy0, 1), 2)
         steals.append(steal_pct)
         print(
             f"rep {i}: N={rn['urls_per_sec']} ({rn['wall_s']}s) "
             f"4N=med{round(ups_4n, 1)} over {len(kept)} crawls eff={eff} "
-            f"steal={steal_pct}%",
+            f"kappa={kap} eff_norm={eff_n} steal={steal_pct}%",
             file=sys.stderr, flush=True,
         )
     lo.close()
@@ -206,6 +227,15 @@ def main():
             "eff_level_median": lvl,
             "eff_best": max(pairs),
             "eff_worst": min(pairs),
+            # cycle-supply decomposition (r4): see the kappa note above
+            "jvm_cpu_n": cpu_n,
+            "jvm_cpu_4n": cpu_4n,
+            "kappa_per_pair": kappas,
+            "kappa_median": round(statistics.median(kappas), 3) if kappas else None,
+            "eff_norm_per_pair": effs_norm,
+            "eff_norm_median": (
+                round(statistics.median(effs_norm), 3) if effs_norm else None
+            ),
         },
         "steal_pct_per_rep": steals,
         "hi_crawls_inside_window": n_inside,
