@@ -182,26 +182,33 @@ def main() -> None:
         # adjacent in time — slow box-contention drift cancels inside the
         # pair instead of hitting the two levels minutes apart.
         #
-        # jvm_cpu_s: utime+stime of the local-mode JVM around each crawl
-        # (driver + executor threads are one process in local mode;
-        # python-worker CPU is excluded but is <1% post-r4 — the hybrid
-        # normalizer keeps the corpus's href classes JVM-side).  The
-        # orchestrator uses it to separate CYCLE SUPPLY from engine
-        # structure: r4 measured that identical logical work costs up to
-        # ~1.5-1.9x the CPU-seconds as total busy vCPUs rise (a host
-        # effect invisible to /proc/stat steal), which caps the raw
-        # urls/s ratio regardless of plan quality.
+        # jvm_cpu_s: utime+stime of every JVM in this worker's process
+        # tree around each crawl.  local[N]: driver + executor threads
+        # are ONE java process.  local-cluster[N,1,mem] (jvms topology):
+        # the driver java process forks one CoarseGrainedExecutorBackend
+        # java child per executor, so we sum the driver and its direct
+        # java children.  Python-worker CPU is excluded but is <1%
+        # post-r4 — the hybrid normalizer keeps the corpus's href
+        # classes JVM-side.  The orchestrator uses it to separate CYCLE
+        # SUPPLY from engine structure: r4 measured that identical
+        # logical work costs up to ~1.5-1.9x the CPU-seconds as total
+        # busy vCPUs rise (a host effect invisible to /proc/stat steal),
+        # which caps the raw urls/s ratio regardless of plan quality.
+        import glob as _g
+
+        def _stat(d: str) -> list[str] | None:
+            try:
+                with open(d + "/stat") as f:
+                    return f.read().split()
+            except OSError:
+                return None
+
         def _jvm_pid() -> str | None:
             me = str(os.getpid())
-            import glob as _g
             for d in _g.glob("/proc/[0-9]*"):
-                try:
-                    with open(d + "/stat") as f:
-                        parts = f.read().split()
-                    if parts[3] == me and "java" in parts[1]:
-                        return d.split("/")[2]
-                except OSError:
-                    continue
+                parts = _stat(d)
+                if parts and parts[3] == me and "java" in parts[1]:
+                    return d.split("/")[2]
             return None
 
         _jpid = _jvm_pid()
@@ -210,11 +217,15 @@ def main() -> None:
         def _jvm_cpu() -> float | None:
             if _jpid is None:
                 return None
-            try:
-                parts = open(f"/proc/{_jpid}/stat").read().split()
-                return (int(parts[13]) + int(parts[14])) / _tck
-            except OSError:
+            root = _stat(f"/proc/{_jpid}")
+            if root is None:
                 return None
+            total = int(root[13]) + int(root[14])
+            for d in _g.glob("/proc/[0-9]*"):
+                parts = _stat(d)
+                if parts and parts[3] == _jpid and "java" in parts[1]:
+                    total += int(parts[13]) + int(parts[14])
+            return total / _tck
 
         print(json.dumps({
             "ready": True, "cpus": CPUS,

@@ -870,21 +870,37 @@ class CrawlEngine:
                 parents, carry=carry, n_parents_hint=n_round,
                 defer_url_filters=True,
             )
-            cand = seen.anti_join(cand, "norm_url")
             # first-occurrence dedupe within the level == the reference's
-            # sequential visited.add at discovery time (bfs_strategy.py:186)
-            w_first = Window.partitionBy("norm_url").orderBy("emit_seq", "link_idx")
+            # sequential visited.add at discovery time (bfs_strategy.py:186).
+            # (emit_seq, link_idx) is unique per candidate row, so the
+            # lexicographic MIN struct is exactly the rank-1 row of a
+            # window ordered by (emit_seq, link_idx) — but as a hash
+            # AGGREGATE instead of a window: duplicates collapse map-side
+            # before the exchange (the window shuffled and then SORTED
+            # every candidate row), only the slim carried columns ride
+            # the shuffle (the href struct and parent depth are dropped
+            # here instead of riding two exchanges), and the output stays
+            # hash-partitioned on norm_url, which the seen anti-join
+            # below reuses — ONE candidate-scale exchange per round
+            # instead of two.
+            keep = ["emit_seq", "link_idx", "src_url", "next_depth", *carry]
             deduped = (
-                cand.withColumn("first_rk", F.row_number().over(w_first))
-                .filter(F.col("first_rk") == 1)
-                .drop("first_rk")
+                cand.groupBy("norm_url")
+                .agg(F.min(F.struct(*keep)).alias("__first"))
+                .select("norm_url", "__first.*")
             )
             # deferred key-pure predicates + score: once per UNIQUE url,
             # on the post-exchange attribute (see _discover_candidates).
-            # Before seen.add in every branch below, so invalid URLs
-            # never enter visited (reference filters before visited.add,
-            # bfs_strategy.py:170-186).
+            # Key-purity also means validity/chain/score and the seen
+            # anti-join all act per-norm_url, so they commute with the
+            # dedupe — the cheapest legal order is dedupe → filter →
+            # anti-join: the join probes only unique surviving URLs and
+            # its probe side arrives co-partitioned from the groupBy.
+            # Runs before seen.add in every branch below, so invalid
+            # URLs never enter visited (reference filters before
+            # visited.add, bfs_strategy.py:170-186).
             deduped = self._url_filters_and_score(deduped)
+            deduped = seen.anti_join(deduped, "norm_url")
             if spec.max_pages != math.inf:
                 # parity path: the seen set takes ALL deduped (pre-trim)
                 # rows — trimmed-off URLs are never crawled later

@@ -50,8 +50,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(4, cpus)
 
+    # SPARK_GRAFT_MASTER overrides the master URL verbatim.  The scaling
+    # harness uses it to run the identical job under
+    # ``local-cluster[N,1,mem]`` — N separate executor JVMs with one core
+    # and a private heap each, the faithful emulation of the north rule's
+    # "N vs 4N executors" (local[N] shares one heap across N task threads,
+    # which measures GC contention a real multi-executor cluster never
+    # pays).  ``cpus`` must still equal the TOTAL core count so shuffle
+    # partitioning and parallelism size correctly.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
@@ -82,6 +92,21 @@ def get_spark(
         # per round (build side = the bounded per-round frontier)
         .config("spark.sql.join.preferSortMergeJoin", "false")
     )
+    if master.startswith("local-cluster"):
+        # executor heap must fit the per-executor memory in the master
+        # string (local-cluster[n,c,MEM_MB]); python workers are per
+        # executor, exactly as on a real cluster.
+        builder = builder.config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "2g"),
+        )
+        # Delay scheduling is meaningless when every "remote" fetch is a
+        # loopback read: a crawl round is many small stages, and waiting
+        # the default 3s for a PROCESS_LOCAL slot would idle single-core
+        # executors for most of each round.  (On a real cluster with a
+        # large cached corpus you keep the default — cross-node corpus
+        # fetch is the thing locality exists to avoid.)
+        builder = builder.config("spark.locality.wait", "0s")
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, str(v))
