@@ -100,13 +100,18 @@ def get_spark(
             "spark.executor.memory",
             os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "2g"),
         )
-        # Delay scheduling is meaningless when every "remote" fetch is a
-        # loopback read: a crawl round is many small stages, and waiting
-        # the default 3s for a PROCESS_LOCAL slot would idle single-core
-        # executors for most of each round.  (On a real cluster with a
-        # large cached corpus you keep the default — cross-node corpus
-        # fetch is the thing locality exists to avoid.)
-        builder = builder.config("spark.locality.wait", "0s")
+        # Keep Spark's default delay scheduling (3s).  r4 measured the
+        # r3 setting of 0s directly (tools/profile_topology.py): with
+        # single-core executors, locality.wait=0 scheduled corpus-cache
+        # and shuffle-read tasks onto executors that did not hold the
+        # blocks, and the remote block fetch + deserialization inflated
+        # the identical crawl's task CPU 99.1s -> 68.5s when restored
+        # (10s) — walls 24.5-34.8s -> 21.0-23.8s.  Same reason it's the
+        # default on a real cluster: cached-corpus locality is worth a
+        # bounded wait.  Overridable for locality experiments.
+        wait = os.environ.get("SPARK_GRAFT_LOCALITY_WAIT")
+        if wait:
+            builder = builder.config("spark.locality.wait", wait)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, str(v))

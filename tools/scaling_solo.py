@@ -73,6 +73,8 @@ def _warm(worker: Worker, tag: str, max_warm: int) -> list[dict]:
     """
     runs = []
     prev = None
+    streak = 0
+    min_warm = int(os.environ.get("SOLO_MIN_WARM", "4"))
     for i in range(max_warm):
         r = worker.crawl()
         runs.append(r)
@@ -81,7 +83,16 @@ def _warm(worker: Worker, tag: str, max_warm: int) -> list[dict]:
             f"warm {tag}#{i}: ups={r['urls_per_sec']} cpu={cpu} wall={r['wall_s']}",
             file=sys.stderr, flush=True,
         )
-        if prev and cpu and prev and abs(cpu - prev) / prev < 0.10:
+        # JIT warm has a plateau-then-cliff shape (the first 2 crawls can
+        # read within 2% of each other while both are still cold), so a
+        # one-shot delta rule under-warms: require a minimum number of
+        # crawls AND two consecutive <5% CPU deltas.
+        if prev and cpu:
+            if abs(cpu - prev) / prev < 0.05:
+                streak += 1
+            else:
+                streak = 0
+        if i + 1 >= min_warm and streak >= 2:
             break
         prev = cpu
     return runs
@@ -94,7 +105,7 @@ def main():
     )
     reps = int(os.environ.get("SOLO_REPS", "5"))
     seeds = int(os.environ.get("BENCH_SEEDS", "160000"))
-    max_warm = int(os.environ.get("SOLO_MAX_WARM", "4"))
+    max_warm = int(os.environ.get("SOLO_MAX_WARM", "8"))
 
     drv = 2
     lo_set = f"0-{2 * n + drv - 1}"
