@@ -334,6 +334,24 @@ def _fast_parts(href: Column, base_url: Column):
     return eligible, fast
 
 
+_FAST_PARTS_CACHE: dict = {}
+
+
+def _fast_parts_cached(href_col: str, base_col: str):
+    """Memoized ``_fast_parts`` over column NAMES (see with_normalized)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (id(sc), href_col, base_col)
+    hit = _FAST_PARTS_CACHE.get(key)
+    if hit is None:
+        for k in [k for k in _FAST_PARTS_CACHE if k[0] != id(sc)]:
+            del _FAST_PARTS_CACHE[k]  # drop handles of dead contexts
+        hit = _fast_parts(F.col(href_col), F.col(base_col))
+        _FAST_PARTS_CACHE[key] = hit
+    return hit
+
+
 def normalize_eligible_fast(href: Column, base_url: Column) -> Column:
     """True where the JVM fast path reproduces the reference normalizer
     byte-for-byte: no query string AND (absolute http(s) OR
@@ -380,12 +398,17 @@ def with_normalized(
     concurrently with the discovery's JVM stage inflated that stage's
     CPU ~2x at local[4] (cache/TLB pressure from 2x the busy threads),
     so rows kept out of Python pay off twice at high parallelism.
+
+    The (eligible, fast) expression pair is a large Column tree whose
+    construction is pure py4j chatter (~60 ms); strict crawl loops call
+    this once per round with identical column names, so the pair is
+    memoized per (SparkContext, href_col, base_col) — Columns are
+    immutable unresolved expressions, reusable across DataFrames, and
+    the id(sc) key drops stale JVM handles if the context is rebuilt.
     """
     href, base = F.col(href_col), F.col(base_col)
-    eligible = normalize_eligible_fast(href, base)
-    fast = df.filter(eligible).withColumn(
-        out_col, normalize_fast_expr(href, base)
-    )
+    eligible, fast_expr = _fast_parts_cached(href_col, base_col)
+    fast = df.filter(eligible).withColumn(out_col, fast_expr)
     # eligibility is coalesced to false (never NULL), so ~eligible is the
     # exact complement — no row can vanish from both branches.
     slow = df.filter(~eligible).withColumn(

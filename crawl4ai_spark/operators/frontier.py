@@ -310,12 +310,21 @@ class CrawlEngine:
             yield
             return
         conf = self.spark.conf
+        _CP = "spark.sql.constraintPropagation.enabled"
         prev = conf.get("spark.sql.adaptive.enabled", "true")
+        prev_cp = conf.get(_CP, "true")
         conf.set("spark.sql.adaptive.enabled", "false")
+        # Constraint propagation infers derived predicates across the
+        # loop's join/filter chains — an O(plan^2) optimizer pass that
+        # is pure driver latency here (the micro plans scan ≤ tens of
+        # rows; no scan benefits from an inferred filter) and the loop
+        # compiles 2 plans per round x dozens of rounds.
+        conf.set(_CP, "false")
         try:
             yield
         finally:
             conf.set("spark.sql.adaptive.enabled", prev)
+            conf.set(_CP, prev_cp)
 
     def results(self) -> DataFrame:
         if not self._result_parts:

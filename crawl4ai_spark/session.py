@@ -91,6 +91,16 @@ def get_spark(
         # shuffled-hash join streams it without sorting 10^10 rows
         # per round (build side = the bounded per-round frontier)
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Per-call origin capture (stack walk in Python + an EXTRA py4j
+        # roundtrip per DataFrame API call to ship the call site to the
+        # JVM) exists to enrich error messages; the strict crawl loops
+        # issue tens of thousands of DataFrame calls per run and the
+        # capture is ~10% of their driver time (cProfile, r4).  Off by
+        # default; set SPARK_GRAFT_DF_DEBUG=true when debugging plans.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+        )
     )
     if master.startswith("local-cluster"):
         # executor heap must fit the per-executor memory in the master

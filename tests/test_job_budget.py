@@ -63,12 +63,13 @@ def test_bff_strict_job_budget(spark, pages):
     rounds = len(eng.metrics)
     assert rounds >= 3
     jobs = _jobs_in_group(spark, "bff_budget")
-    # Fused shape + micro-plan mode (AQE off for strict loops,
-    # frontier._micro_plan_mode) measures ~8.2 jobs/round on Spark 4.1:
-    # 4 main actions (pop ckpt, emit ckpt, discovery ckpt, fused stats
-    # collect) plus Spark-internal broadcast-exchange builds and
-    # localCheckpoint secondary jobs riding each action.  With AQE
-    # re-planning each shuffle stage as its own job the same crawl
+    # Fused shape + micro-plan mode (AQE + constraint propagation off
+    # for strict loops, frontier._micro_plan_mode): since r4 the round
+    # is ONE main action — the slim pop collect materializes the lazy
+    # pop/new_items localCheckpoints as stages of its own job — plus
+    # Spark-internal broadcast-exchange builds and localCheckpoint
+    # secondary jobs riding it (~8/round measured on Spark 4.1).  With
+    # AQE re-planning each shuffle stage as its own job the same crawl
     # measures ~18.4/round; the r2 pre-fusion shape lands higher still.
     assert jobs <= 9 * rounds + 4, (
         f"BFF strict submitted {jobs} jobs over {rounds} rounds — "
