@@ -63,6 +63,12 @@ from crawl4ai_spark.plans.stats import reset_stats_if_inflated
 
 BATCH_SIZE = 10  # bff_strategy.py:19
 
+# Seq epoch stride for politeness rate-limit requeues: attempt k of a
+# URL carries seq = base_seq + k * STRIDE, so retried rows order after
+# every fresh/deferred/child seq (reference priority = retry_count,
+# async_dispatcher.py:217-226) while keeping first-enqueue tie order.
+RETRY_SEQ_STRIDE = 1 << 44
+
 # BFS fast-path (fuse_stats) checkpoint eagerness knobs — experiment
 # handles for the per-round driver-job budget (VERDICT r3 #1).  With
 # both False the steady-state BFS round submits ONE job (the fused
@@ -463,6 +469,13 @@ class CrawlEngine:
         ranked = with_global_rank(
             fetched, order_cols, "__emit_rn", n_rows_hint=n_rows_hint
         )
+        # retry_count rides the frontier only once a politeness requeue
+        # happened (models.py:361-370 carries it on every result)
+        rc_col = (
+            F.coalesce(F.col("retry_count"), F.lit(0)).cast("int")
+            if "retry_count" in fetched.columns
+            else F.lit(0).cast("int")
+        )
         emitted = (
             ranked.withColumn(
                 "emit_seq", F.col("__emit_rn") + F.lit(self._emit_count) - 1
@@ -472,7 +485,7 @@ class CrawlEngine:
             .select(
                 "emit_seq", "round", "url", "depth", "parent_url",
                 "score", "success", "status_code",
-                F.lit(0).cast("int").alias("retry_count"),
+                rc_col.alias("retry_count"),
                 # carried for discovery:
                 "links",
             )
@@ -736,6 +749,8 @@ class CrawlEngine:
             if politeness is None and spec.max_round_size is not None:
                 hint = min(hint, spec.max_round_size)
             fetched = self._fetch(frontier_now, n_rows_hint=hint)
+            requeued = None
+            pol_outcomes = None
             if politeness is None:
                 # Without a politeness split the frontier's seq is dense
                 # [emit_count, emit_count + n): each round's next-frontier
@@ -766,9 +781,33 @@ class CrawlEngine:
                     eager=emit_eager,
                 )
             else:
-                emitted = self._emit(
-                    fetched, round_no, [F.col("seq")], n_rows_hint=n_frontier
-                )
+                if spec.politeness.requeue:
+                    # Rate-limit requeue (async_dispatcher.py:280-330):
+                    # the verdict is a JVM window over the pre-update
+                    # domain state; requeued responses produce NO result
+                    # row and re-enter the next frontier with
+                    # retry_count+1.  Eager checkpoint: the verdict,
+                    # the emission and the state fold all read it, and
+                    # the verdict plan must pin the PRE-round state.
+                    verd = self._checkpoint(
+                        politeness.with_requeue(fetched, order_col="seq")
+                    )
+                    requeued = verd.filter(F.col("__requeue"))
+                    emitted = self._emit(
+                        verd.filter(~F.col("__requeue")).drop("__requeue"),
+                        round_no, [F.col("seq")], n_rows_hint=n_frontier,
+                    )
+                    # the state fold sees EVERY response, requeued ones
+                    # included, in fetch (seq) order — the reference
+                    # calls update_delay on each response it requeues
+                    pol_outcomes = verd.select(
+                        F.col("seq").alias("emit_seq"), "url", "status_code"
+                    )
+                else:
+                    emitted = self._emit(
+                        fetched, round_no, [F.col("seq")], n_rows_hint=n_frontier
+                    )
+                    pol_outcomes = None
             # Fast path (no politeness, no page cap): the emitted count
             # is ARITHMETIC — emit_seq == seq and every frontier_now row
             # is fetched+emitted — and the success sum is deferred to
@@ -810,7 +849,10 @@ class CrawlEngine:
                 )
             if politeness is not None:
                 politeness.update(
-                    emitted.select("emit_seq", "url", "status_code"), round_no
+                    pol_outcomes
+                    if pol_outcomes is not None
+                    else emitted.select("emit_seq", "url", "status_code"),
+                    round_no,
                 )
 
             # ---- discovery over this round's successful parents ----
@@ -1100,6 +1142,33 @@ class CrawlEngine:
                 n_frontier = -1 if n_defer is None else n_next + n_defer
             else:
                 n_frontier = n_next
+            if requeued is not None:
+                # Rate-limited responses re-enter behind EVERYTHING
+                # (reference requeues at priority = retry_count,
+                # async_dispatcher.py:217-226,290-293): seq moves to a
+                # per-retry epoch — base seq (stable across retries via
+                # pmod) + retry_count * 2^44 — so retried rows sort
+                # after all fresh/deferred/child seqs, later retries
+                # after earlier ones, and ties keep first-enqueue order.
+                # 2^44 emitted URLs (~10^13) before collision is beyond
+                # any single crawl's emit counter.
+                rc = (
+                    F.coalesce(F.col("retry_count"), F.lit(0))
+                    if "retry_count" in requeued.columns
+                    else F.lit(0)
+                )
+                re_rows = requeued.select(
+                    "url", "parent_url", "depth", "score",
+                    (
+                        F.pmod(F.col("seq"), F.lit(RETRY_SEQ_STRIDE))
+                        + (rc + 1).cast("long") * F.lit(RETRY_SEQ_STRIDE)
+                    ).alias("seq"),
+                    (rc + 1).cast("int").alias("retry_count"),
+                )
+                next_frontier = next_frontier.unionByName(
+                    re_rows, allowMissingColumns=True
+                )
+                n_frontier = -1  # loop top re-counts (politeness path)
             frontier = next_frontier
             round_no += 1
             if spec.checkpoint_dir:

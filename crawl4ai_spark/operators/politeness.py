@@ -69,6 +69,17 @@ class PolitenessSpec:
     # naive plan's straggler against the salted plan on the same
     # frontier (SURVEY.md §2.4 skew note).
     salt_n: int | None = None
+    # Per-URL rate-limit requeue (async_dispatcher.py:280-330): a
+    # fetch answered 429/503 produces NO result row — the URL re-enters
+    # the frontier with retry_count+1 behind everything else (the
+    # reference requeues at priority = retry_count, so retried tasks
+    # pop after fresh ones) — UNLESS the domain's fail budget is
+    # already spent (fail_count after this response > max_retries,
+    # update_delay returning False), in which case the row emits
+    # terminally with its retry_count.  Off by default: the
+    # requeue-less mode (every fetch emits once) is the long-standing
+    # oracle-verified behavior.
+    requeue: bool = False
 
     def initial_delay(self, domain: str) -> float:
         return self.base_lo + (self.base_hi - self.base_lo) * _unit(
@@ -185,6 +196,51 @@ class PolitenessState:
             *cols
         ).unionByName(pre_deferred.select(*cols))
         return now, deferred
+
+    def with_requeue(
+        self, fetched: DataFrame, order_col: str = "seq"
+    ) -> DataFrame:
+        """Add a ``__requeue`` boolean: does this fetch outcome requeue
+        (rate-limited AND the domain's fail budget survives the
+        response) instead of emitting?
+
+        Pure Column/window replica of the sequential ``update_delay``
+        fail-count arithmetic (async_dispatcher.py:65-75): per domain in
+        ``order_col`` order, every 429/503 increments ``fail_count``,
+        any other status resets it to 0, and the response requeues iff
+        the post-increment count ≤ max_retries.  With reset-on-success,
+        the count at row k is (# rate-limited rows since the last
+        non-rate-limited row, inclusive), seeded with the domain's
+        PRE-round ``fail_count`` when no reset precedes k — all
+        window-expressible, so the verdict runs JVM-side with no
+        per-row Python.  Must be called BEFORE :meth:`update` folds the
+        round (it reads the pre-round state).
+        """
+        from pyspark.sql import Window
+
+        spec = self.spec
+        fr = fetched.withColumn("__dom", domain_of(F.col("url")))
+        st = self._state.select(
+            F.col("domain").alias("__dom"),
+            F.col("fail_count").alias("__prior_fails"),
+        )
+        fr = fr.join(st, "__dom", "left").withColumn(
+            "__prior_fails", F.coalesce(F.col("__prior_fails"), F.lit(0))
+        )
+        w = Window.partitionBy("__dom").orderBy(order_col)
+        is_rl = F.col("status_code").isin(*RATE_LIMIT_CODES)
+        fr = fr.withColumn("__rl_cum", F.sum(is_rl.cast("int")).over(w))
+        # __rl_cum at the most recent non-rate-limited row ≤ current;
+        # on a rate-limited row that row strictly precedes it, so the
+        # difference counts rate-limited rows since the last reset,
+        # current included — exactly the post-increment fail_count.
+        last_reset = F.max(F.when(~is_rl, F.col("__rl_cum"))).over(w)
+        fails_at = F.when(
+            last_reset.isNull(), F.col("__prior_fails") + F.col("__rl_cum")
+        ).otherwise(F.col("__rl_cum") - last_reset)
+        return fr.withColumn(
+            "__requeue", is_rl & (fails_at <= F.lit(spec.max_retries))
+        ).drop("__dom", "__prior_fails", "__rl_cum")
 
     def update(self, outcomes: DataFrame, round_no: int) -> None:
         """Fold this round's (url, status_code) outcomes into the state,
