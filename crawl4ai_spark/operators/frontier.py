@@ -619,6 +619,11 @@ class CrawlEngine:
                     F.col("depth").cast("int"),
                     F.lit(0.0).alias("score"),
                     (F.col("__rs_seq") - F.lit(1)).cast("long").alias("seq"),
+                    *(
+                        [F.col("retry_count").cast("int").alias("retry_count")]
+                        if "retry_count" in pending_df.columns
+                        else []
+                    ),
                 )
             else:
                 frontier = spark.createDataFrame(
@@ -1385,6 +1390,17 @@ class CrawlEngine:
                 F.col("parent_url"),
                 F.col("depth").cast("int").alias("depth"),
                 (F.col("__seq") - F.lit(1)).cast("long").alias("seq"),
+                # politeness-requeue rows keep their attempt count across
+                # export/resume (seq re-ranks dense, preserving the
+                # retry-epoch ORDER the stride encoded)
+                *(
+                    [
+                        F.coalesce(F.col("retry_count"), F.lit(0))
+                        .cast("int").alias("retry_count")
+                    ]
+                    if "retry_count" in pend.columns
+                    else []
+                ),
             ).write.mode("overwrite").parquet(str(base / "pending"))
         manifest = {
             "strategy_type": {

@@ -137,6 +137,32 @@ def test_requeue_rounds_and_state(spark, retry_run):
         assert st[dom]["fail_count"] > 0 or st[dom]["retired"]
 
 
+def test_requeue_survives_table_export_resume(spark, tmp_path):
+    """A cancelled requeue crawl exports pending retry_counts and a
+    table-resume re-enters them (not reset to 0)."""
+    n = 120
+    pages = corpus.build_pages(spark, n)
+    pspec = PolitenessSpec(
+        base_lo=0.5, base_hi=1.0, round_duration=30.0, max_retries=5,
+        requeue=True, seed=7,
+    )
+    eng = CrawlEngine(
+        spark, pages,
+        CrawlSpec(
+            max_depth=2, strategy="bfs", politeness=pspec,
+            max_rounds=3,  # stop while retried rows are still pending
+        ),
+    )
+    eng.run(corpus.py_canonical_url(1))
+    out = str(tmp_path / "state")
+    eng.export_state_tables(out)
+    state = CrawlEngine.resume_state_from_tables(spark, out)
+    pend = state["pending_df"]
+    assert "retry_count" in pend.columns
+    rcs = [r["retry_count"] for r in pend.collect()]
+    assert any(rc and rc > 0 for rc in rcs), rcs
+
+
 def test_requeue_off_is_unchanged(spark):
     """requeue=False (default) emits every fetch once with
     retry_count=0 — the long-standing oracle-verified behavior."""
