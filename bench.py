@@ -449,6 +449,43 @@ def main() -> None:
         timings["skew_sched_hot"] / timings["skew_sched_uniform"], 3
     )
 
+    # --- q2g: rate-limit requeue (P7 dispatcher retry, r4) ------------------
+    # Politeness BFS with per-URL requeue over a seed slice dense in
+    # 429/503 rows (ids ≡ 0 mod 17/19): requeued responses emit no row
+    # and re-enter later rounds with retry_count+1 until each domain's
+    # fail budget is spent.  Measures the verdict window + frontier
+    # re-entry machinery end-to-end; retried terminal emissions are
+    # reported so the retry path is observably exercised.
+    def retry_crawl():
+        # dense id slice: natural ~1/17 + 1/19 of rows rate-limited,
+        # interleaved with successes so domain fail budgets reset and
+        # requeued rows terminally emit with retry_count > 0
+        rseeds = spark.range(0, 20_000).select(
+            corpus.canonical_url_col(F.col("id") % n_corpus).alias("url")
+        )
+        eng = CrawlEngine(
+            spark,
+            pages,
+            CrawlSpec(
+                max_depth=0,
+                strategy="bfs",
+                max_rounds=8,
+                politeness=PolitenessSpec(
+                    round_duration=3600.0, max_retries=2, requeue=True
+                ),
+            ),
+        )
+        res = eng.run(rseeds)
+        agg = res.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("retry_count") > 0).cast("long")).alias("retried"),
+        ).collect()[0]
+        extras["retry_crawl_emitted"] = int(agg["n"])
+        extras["retry_crawl_retried_terminal"] = int(agg["retried"] or 0)
+        return int(agg["n"])
+
+    timed("retry_crawl", retry_crawl)
+
     # --- q3: URL normalization throughput (Arrow UDF path) ------------------
     def normalize():
         base = spark.range(0, n_corpus).select(
