@@ -338,14 +338,21 @@ _FAST_PARTS_CACHE: dict = {}
 
 
 def _fast_parts_cached(href_col: str, base_col: str):
-    """Memoized ``_fast_parts`` over column NAMES (see with_normalized)."""
+    """Memoized ``_fast_parts`` over column NAMES (see with_normalized).
+
+    Keyed on the SparkContext OBJECT (identity), not ``id(sc)``: the
+    strong reference in the key pins the context object, so a restarted
+    JVM can never hand a new context the recycled id of a dead one and
+    serve its stale py4j Column handles.  Entries of non-current
+    contexts are evicted on the next miss (bounded by the number of
+    context restarts in a process — ~1 everywhere we run)."""
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
-    key = (id(sc), href_col, base_col)
+    key = (sc, href_col, base_col)
     hit = _FAST_PARTS_CACHE.get(key)
     if hit is None:
-        for k in [k for k in _FAST_PARTS_CACHE if k[0] != id(sc)]:
+        for k in [k for k in _FAST_PARTS_CACHE if k[0] is not sc]:
             del _FAST_PARTS_CACHE[k]  # drop handles of dead contexts
         hit = _fast_parts(F.col(href_col), F.col(base_col))
         _FAST_PARTS_CACHE[key] = hit
@@ -404,7 +411,8 @@ def with_normalized(
     this once per round with identical column names, so the pair is
     memoized per (SparkContext, href_col, base_col) — Columns are
     immutable unresolved expressions, reusable across DataFrames, and
-    the id(sc) key drops stale JVM handles if the context is rebuilt.
+    keying on the context object drops stale JVM handles if the
+    context is rebuilt.
     """
     href, base = F.col(href_col), F.col(base_col)
     eligible, fast_expr = _fast_parts_cached(href_col, base_col)

@@ -74,11 +74,15 @@ class ProxyConfig:
 
 
 def _proxy_array(proxies: list[ProxyConfig]) -> Column:
+    # full credential set: a fetch layer consuming the struct must be
+    # able to authenticate (server alone is not a usable proxy when
+    # username/password are set)
     return F.array(
         *[
             F.struct(
                 F.lit(p.server).alias("server"),
                 F.lit(p.username).cast("string").alias("username"),
+                F.lit(p.password).cast("string").alias("password"),
                 F.lit(p.ip).cast("string").alias("ip"),
             )
             for p in proxies

@@ -626,14 +626,29 @@ class CrawlEngine:
                     ),
                 )
             else:
-                frontier = spark.createDataFrame(
-                    [
-                        (it["url"], it.get("parent_url"),
-                         int(depths.get(it["url"], 0)), 0.0, i)
-                        for i, it in enumerate(rs.get("pending", []))
-                    ],
-                    FRONTIER_SCHEMA,
-                )
+                pending_items = rs.get("pending", [])
+                if any("retry_count" in it for it in pending_items):
+                    frontier = spark.createDataFrame(
+                        [
+                            (it["url"], it.get("parent_url"),
+                             int(depths.get(it["url"], 0)), 0.0, i,
+                             int(it.get("retry_count", 0)))
+                            for i, it in enumerate(pending_items)
+                        ],
+                        T.StructType(
+                            FRONTIER_SCHEMA.fields
+                            + [T.StructField("retry_count", T.IntegerType())]
+                        ),
+                    )
+                else:
+                    frontier = spark.createDataFrame(
+                        [
+                            (it["url"], it.get("parent_url"),
+                             int(depths.get(it["url"], 0)), 0.0, i)
+                            for i, it in enumerate(pending_items)
+                        ],
+                        FRONTIER_SCHEMA,
+                    )
         elif isinstance(seeds, DataFrame):
             # distributed seed source: never collected on the driver
             sdf = seeds
@@ -787,7 +802,10 @@ class CrawlEngine:
                 )
             else:
                 if spec.politeness.requeue:
-                    # Rate-limit requeue (async_dispatcher.py:280-330):
+                    # Rate-limit requeue (PolitenessSpec.requeue — the
+                    # dispatcher's memory-requeue loop shape,
+                    # async_dispatcher.py:288-318, driven by
+                    # update_delay's fail budget, :65-75):
                     # the verdict is a JVM window over the pre-update
                     # domain state; requeued responses produce NO result
                     # row and re-enter the next frontier with
@@ -812,7 +830,6 @@ class CrawlEngine:
                     emitted = self._emit(
                         fetched, round_no, [F.col("seq")], n_rows_hint=n_frontier
                     )
-                    pol_outcomes = None
             # Fast path (no politeness, no page cap): the emitted count
             # is ARITHMETIC — emit_seq == seq and every frontier_now row
             # is fetched+emitted — and the success sum is deferred to
@@ -1149,8 +1166,10 @@ class CrawlEngine:
                 n_frontier = n_next
             if requeued is not None:
                 # Rate-limited responses re-enter behind EVERYTHING
-                # (reference requeues at priority = retry_count,
-                # async_dispatcher.py:217-226,290-293): seq moves to a
+                # (the dispatcher's requeue loop enqueues at priority =
+                # retry_count, async_dispatcher.py:217-226,290-293 —
+                # see PolitenessSpec.requeue for why the engine points
+                # that loop at rate limits): seq moves to a
                 # per-retry epoch — base seq (stable across retries via
                 # pmod) + retry_count * 2^44 — so retried rows sort
                 # after all fresh/deferred/child seqs, later retries
@@ -1234,8 +1253,20 @@ class CrawlEngine:
                  "parent_url": r["parent_url"]}
                 for r in rows
             ]
+        has_rc = "retry_count" in self._pending_df.columns
         return [
-            {"url": r["url"], "parent_url": r["parent_url"], "depth": r["depth"]}
+            {
+                "url": r["url"], "parent_url": r["parent_url"],
+                "depth": r["depth"],
+                # politeness-requeue rows keep their attempt count
+                # through the dict-shaped export too (the table path
+                # preserves it; dropping it here reset resumed retries)
+                **(
+                    {"retry_count": int(r["retry_count"] or 0)}
+                    if has_rc
+                    else {}
+                ),
+            }
             for r in rows
         ]
 
@@ -1261,8 +1292,19 @@ class CrawlEngine:
             "cancelled": self._cancelled,
         }
         if strategy == "bfs":
+            # reference pending shape is (url, parent_url)
+            # (bfs_strategy.py:275-284); retry_count is the engine's
+            # requeue extension and rides along only when present so
+            # resumed retries aren't silently reset
             state["pending"] = [
-                {"url": it["url"], "parent_url": it["parent_url"]}
+                {
+                    "url": it["url"], "parent_url": it["parent_url"],
+                    **(
+                        {"retry_count": it["retry_count"]}
+                        if "retry_count" in it
+                        else {}
+                    ),
+                }
                 for it in pending_rows
             ]
         elif strategy in ("dfs", "dfs_batched"):

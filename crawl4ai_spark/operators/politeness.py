@@ -69,16 +69,28 @@ class PolitenessSpec:
     # naive plan's straggler against the salted plan on the same
     # frontier (SURVEY.md §2.4 skew note).
     salt_n: int | None = None
-    # Per-URL rate-limit requeue (async_dispatcher.py:280-330): a
-    # fetch answered 429/503 produces NO result row — the URL re-enters
-    # the frontier with retry_count+1 behind everything else (the
-    # reference requeues at priority = retry_count, so retried tasks
-    # pop after fresh ones) — UNLESS the domain's fail budget is
-    # already spent (fail_count after this response > max_retries,
-    # update_delay returning False), in which case the row emits
-    # terminally with its retry_count.  Off by default: the
-    # requeue-less mode (every fetch emits once) is the long-standing
-    # oracle-verified behavior.
+    # Per-URL rate-limit requeue — a COMPOSITION of two reference
+    # mechanisms, not a replay of either (the reference itself requeues
+    # only on critical MEMORY pressure, async_dispatcher.py:288-318,
+    # and emits every rate-limited response once with update_delay
+    # bookkeeping, :325-330):
+    #   * the requeue shape (no result row; re-enter the queue with
+    #     retry_count+1 at priority = retry_count, behind fresh tasks)
+    #     is the dispatcher's memory-requeue loop
+    #     (async_dispatcher.py:288-318, 217-226);
+    #   * the requeue/terminal decision is update_delay's sequential
+    #     per-domain fail arithmetic (:65-75): requeue while the
+    #     post-increment fail_count ≤ max_retries, emit terminally with
+    #     the accumulated retry_count once the budget is spent.
+    # Rationale: memory pressure is Spark's concern here (the
+    # max_round_size governor), so the engine points the requeue loop
+    # at the condition a distributed crawl actually retries on.  A row
+    # requeued and then orphaned by its domain retiring is dropped at
+    # the next split exactly like any other retired-domain row (the
+    # engine's long-standing retired-domain semantics) — it does NOT
+    # get a terminal emission.  Off by default: the requeue-less mode
+    # (every fetch emits once — the reference's literal rate-limit
+    # behavior) is the long-standing oracle-verified path.
     requeue: bool = False
 
     def initial_delay(self, domain: str) -> float:
@@ -202,7 +214,8 @@ class PolitenessState:
     ) -> DataFrame:
         """Add a ``__requeue`` boolean: does this fetch outcome requeue
         (rate-limited AND the domain's fail budget survives the
-        response) instead of emitting?
+        response) instead of emitting?  (See ``PolitenessSpec.requeue``
+        for what is and is not reference behavior here.)
 
         Pure Column/window replica of the sequential ``update_delay``
         fail-count arithmetic (async_dispatcher.py:65-75): per domain in

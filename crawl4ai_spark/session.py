@@ -97,9 +97,14 @@ def get_spark(
         # issue tens of thousands of DataFrame calls per run and the
         # capture is ~10% of their driver time (cProfile, r4).  Off by
         # default; set SPARK_GRAFT_DF_DEBUG=true when debugging plans.
+        # (pyspark compares the conf with == "true", so normalize the
+        # conventional truthy env spellings)
         .config(
             "spark.python.sql.dataFrameDebugging.enabled",
-            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+            "true"
+            if os.environ.get("SPARK_GRAFT_DF_DEBUG", "").lower()
+            in ("1", "true", "yes", "on")
+            else "false",
         )
     )
     if master.startswith("local-cluster"):

@@ -30,8 +30,16 @@ def test_from_string_parity():
 
 def test_round_robin_matches_cycle(spark):
     proxies = [
-        ProxyConfig.from_string(f"10.0.0.{i}:8080") for i in range(1, 4)
+        ProxyConfig.from_string(f"10.0.0.{i}:8080:u{i}:pw{i}")
+        for i in range(1, 4)
     ]
+    # the struct carries the FULL credential set
+    df0 = spark.range(1).select(
+        round_robin_proxy(F.lit(0), proxies).alias("proxy")
+    )
+    p0 = df0.collect()[0]["proxy"]
+    assert p0["username"] == "u1" and p0["password"] == "pw1"
+    assert p0["ip"] == "10.0.0.1"
     n = 10
     df = spark.range(n).select(F.col("id").alias("emit_seq"))
     got = [
