@@ -35,6 +35,7 @@ if _ROOT not in _pp.split(os.pathsep):
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from crawl4ai_spark.functions import chunking as CH
 from crawl4ai_spark.functions import dedup as D
 from crawl4ai_spark.functions import similarity as SIM
 from crawl4ai_spark.functions import text as TX
@@ -711,7 +712,17 @@ def q_text_stats_suite(spark, sf_dir):
     quality score (fixed-point: floor(q*1e6) — duckdb's round() goes
     through the decimal repr and can differ by 1 ulp), language-ID,
     stopword ratio, and the rolling-hash document fingerprint — each a
-    verified column (the five retired singleton queries)."""
+    verified column (the five retired singleton queries).
+
+    r4 adds the chunking family (functions/chunking.py — reference
+    chunking_strategy.py) as verified columns: fixed-length chunk
+    count + first-chunk fingerprint (FixedLengthWordChunking :146-171),
+    sliding-window count incl. the leaked-loop-index tail rule
+    (SlidingWindowChunking :174-211), and overlapping-window count
+    (OverlappingWindowChunking :214-255)."""
+    fixed = CH.FixedLengthWordChunking(50).column(F.col("text"))
+    sliding = CH.SlidingWindowChunking(40, 30).column(F.col("text"))
+    overlap = CH.OverlappingWindowChunking(60, 20).column(F.col("text"))
     return _docs(spark, sf_dir).select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),
@@ -719,6 +730,10 @@ def q_text_stats_suite(spark, sf_dir):
         TX.lang_id(F.col("text")).alias("lang_pred"),
         F.round(TX.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
         TX.fingerprint(F.col("text")).alias("fp"),
+        F.size(fixed).alias("n_chunks_fixed"),
+        TX.fingerprint(F.element_at(fixed, 1)).alias("first_chunk_fp"),
+        F.size(sliding).alias("n_chunks_sliding"),
+        F.size(overlap).alias("n_chunks_overlap"),
     )
 
 
@@ -2990,12 +3005,23 @@ def _text_stats_sql() -> str:
               len(list_filter({_SQL_TOKS},
                   x -> list_contains(['the','and','of','to','in','a','is','it','for','on'], x)))
               * 1.0 / greatest(len({_SQL_TOKS}), 1), 6)"""
+    # chunking mirrors (functions/chunking.py): case-preserving word
+    # list; fixed-50 count/first-chunk fp, sliding(40,30) count with
+    # the reference's leaked-index tail rule, overlapping(60,20) count
+    first_chunk = "array_to_string(wlist[1:50], ' ')"
+    n_sliding = """CASE WHEN nw <= 40 THEN 1 ELSE
+              CAST(floor((nw - 40) / 30.0) AS INT) + 1 +
+              (CASE WHEN ((nw - 40) - ((nw - 40) % 30) + 40) < nw
+                    THEN 1 ELSE 0 END) END"""
     return f"""
         WITH base AS (
-          SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded FROM documents
+          SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                   AS wlist
+          FROM documents
         ),
         hits AS (
-          SELECT doc_id, text, {hits_cols} FROM base
+          SELECT doc_id, text, wlist, len(wlist) AS nw, {hits_cols} FROM base
         ),
         hm AS (
           SELECT *, {greatest} AS m FROM hits
@@ -3005,6 +3031,13 @@ def _text_stats_sql() -> str:
                {quality} AS quality,
                CASE WHEN m > 0 THEN {case} ELSE 'und' END AS lang_pred,
                {stop_ratio} AS stop_ratio,
-               {_md5long_sql('text')} AS fp
+               {_md5long_sql('text')} AS fp,
+               CAST(ceil(nw / 50.0) AS INT) AS n_chunks_fixed,
+               CASE WHEN nw = 0 THEN NULL
+                    ELSE {_md5long_sql(first_chunk)} END AS first_chunk_fp,
+               {n_sliding} AS n_chunks_sliding,
+               CASE WHEN nw <= 60 THEN 1
+                    ELSE CAST(ceil((nw - 60) / 40.0) AS INT) + 1
+               END AS n_chunks_overlap
         FROM hm
     """
