@@ -23,3 +23,14 @@ DataFrame programs:
 __version__ = "0.1.0"
 
 from crawl4ai_spark.session import get_spark  # noqa: F401
+
+# Reference-shaped user surface (api.py) — imported lazily-safe: these
+# pull only pyspark + package-internal modules.
+from crawl4ai_spark.api import (  # noqa: F401
+    BestFirstCrawlingStrategy,
+    BFSDeepCrawlStrategy,
+    CacheMode,
+    CrawlerRunConfig,
+    DFSDeepCrawlStrategy,
+    WebCrawler,
+)

@@ -1,0 +1,288 @@
+"""Reference-shaped user API — the switchover surface.
+
+A user of the reference drives crawls through ``AsyncWebCrawler.arun /
+arun_many`` with a ``CrawlerRunConfig`` holding a deep-crawl strategy
+object (``async_webcrawler.py:169-171``, ``base_strategy.py:10-43``).
+This module exposes the same nouns over the Spark engine so reference
+call sites translate one-for-one:
+
+    crawler = WebCrawler(spark, pages)                 # "the web" table
+    df = crawler.arun(url, CrawlerRunConfig(
+        deep_crawl_strategy=BFSDeepCrawlStrategy(max_depth=2),
+        cache_mode=CacheMode.BYPASS,
+    ))
+
+Differences from the reference, by design (batch engine, not asyncio):
+
+- ``arun`` returns the results **DataFrame** (url, depth, parent_url,
+  score, status_code, success, …) instead of a ``CrawlResult``
+  container — collect it or keep composing.
+- ``stream=True`` has no async-generator analog; rounds already emit
+  incrementally into the result (accepted and ignored).
+- ``arun_many`` with a deep-crawl strategy runs ONE shared-frontier
+  multi-seed crawl (the production shape) rather than the reference's
+  sequential per-seed loop (``async_webcrawler.py:1026-1052``); single
+  seeds match the reference loop exactly.
+
+Strategy constructors are field-for-field the reference's
+(``bfs_strategy.py:25-43``, ``dfs_strategy.py``, ``bff_strategy.py:
+36-50``); ``CacheMode`` is value-for-value ``cache_context.py:4-20``
+with the read/write gates of ``CacheContext.should_read/should_write``
+(``cache_context.py:59-87``) applied as DataFrame joins, and the
+``config.cache_mode = None → ENABLED`` defaulting of
+``async_webcrawler.py:261``.  With ``cache_dir`` set, the fetched
+cache is a ``plans.table.VersionedTable`` — cache writes are MERGE
+INTO commits, so the cache is durable, time-travelable state (the
+"Iceberg fetched table IS the cache" design of SURVEY §1 S7).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.functions.filters import FilterChain
+from crawl4ai_spark.functions.scorers import Scorer
+from crawl4ai_spark.operators.frontier import CrawlEngine, CrawlSpec
+from crawl4ai_spark.operators.politeness import PolitenessSpec
+from crawl4ai_spark.operators.robots import RobotsRules
+from crawl4ai_spark.plans.table import VersionedTable
+
+
+class CacheMode(Enum):
+    """cache_context.py:4-20, value-for-value."""
+
+    ENABLED = "enabled"
+    DISABLED = "disabled"
+    READ_ONLY = "read_only"
+    WRITE_ONLY = "write_only"
+    BYPASS = "bypass"
+
+
+def _should_read(mode: CacheMode) -> bool:
+    return mode in (CacheMode.ENABLED, CacheMode.READ_ONLY)
+
+
+def _should_write(mode: CacheMode) -> bool:
+    return mode in (CacheMode.ENABLED, CacheMode.WRITE_ONLY)
+
+
+def _cacheable(url: Column) -> Column:
+    """CacheContext.is_cacheable (cache_context.py:55)."""
+    return (
+        url.startswith("http://")
+        | url.startswith("https://")
+        | url.startswith("file://")
+    )
+
+
+@dataclass
+class _DeepCrawlStrategy:
+    """Shared constructor surface of the reference strategies
+    (bfs_strategy.py:25-43 / bff_strategy.py:36-50)."""
+
+    max_depth: int
+    filter_chain: FilterChain = field(default_factory=FilterChain)
+    url_scorer: Scorer | None = None
+    include_external: bool = False
+    score_threshold: float = -math.inf
+    max_pages: float = math.inf
+    resume_state: dict | None = None
+    on_state_change: object = None
+    should_cancel: object = None
+
+    _strategy = "bfs"
+
+    def to_spec(self, **overrides) -> CrawlSpec:
+        return CrawlSpec(
+            max_depth=self.max_depth,
+            strategy=self._strategy,
+            filter_chain=self.filter_chain,
+            scorer=self.url_scorer,
+            include_external=self.include_external,
+            score_threshold=self.score_threshold,
+            max_pages=self.max_pages,
+            resume_state=self.resume_state,
+            on_state_change=self.on_state_change,
+            should_cancel=self.should_cancel,
+            **overrides,
+        )
+
+
+class BFSDeepCrawlStrategy(_DeepCrawlStrategy):
+    _strategy = "bfs"
+
+
+class DFSDeepCrawlStrategy(_DeepCrawlStrategy):
+    _strategy = "dfs"
+
+
+class BestFirstCrawlingStrategy(_DeepCrawlStrategy):
+    _strategy = "best_first"
+
+
+@dataclass
+class CrawlerRunConfig:
+    """The crawl-tier subset of the reference's CrawlerRunConfig
+    (async_configs.py): strategy, cache mode, robots gate, politeness.
+    Browser/scraping/extraction knobs are content-tier, out of scope."""
+
+    deep_crawl_strategy: _DeepCrawlStrategy | None = None
+    cache_mode: CacheMode | None = CacheMode.BYPASS  # async_configs default
+    check_robots_txt: bool = False
+    stream: bool = False  # accepted; rounds already emit incrementally
+    politeness: PolitenessSpec | None = None
+
+
+FETCH_RESULT_COLS = ["url", "success", "status_code", "from_cache"]
+
+
+class WebCrawler:
+    """``AsyncWebCrawler`` analog: holds "the web" (a pages DataFrame —
+    fetch is a join, S1/S2) plus the fetched-cache and robots state the
+    reference keeps in SQLite."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: RobotsRules | None = None,
+        cache_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.robots = robots
+        self._cache_table: VersionedTable | None = None
+        if cache_dir is not None:
+            t = VersionedTable(spark, cache_dir)
+            if t.current_version() is None:
+                empty = spark.createDataFrame(
+                    [], "url string, success boolean, status_code int"
+                )
+                t = VersionedTable.create(spark, cache_dir, empty, key=["url"])
+            self._cache_table = t
+        else:
+            self._cache: DataFrame = spark.createDataFrame(
+                [], "url string, success boolean, status_code int"
+            )
+
+    # -- cache state ---------------------------------------------------------
+
+    @property
+    def cache(self) -> DataFrame:
+        if self._cache_table is not None:
+            return self._cache_table.read()
+        return self._cache
+
+    def _cache_write(self, rows: DataFrame) -> None:
+        """acache_url analog (async_database.py:478): upsert fetched
+        rows by url PK.  Durable path = MERGE INTO commit."""
+        rows = rows.select("url", "success", "status_code")
+        if self._cache_table is not None:
+            if not rows.isEmpty():  # don't commit empty MERGE versions
+                self._cache_table.merge(rows)
+        else:
+            self._cache = (
+                self._cache.join(rows, "url", "left_anti")
+                .unionByName(rows)
+                .localCheckpoint(eager=True)
+            )
+
+    # -- entry points --------------------------------------------------------
+
+    def arun(self, url: str, config: CrawlerRunConfig | None = None) -> DataFrame:
+        """Single-URL entry (async_webcrawler.py:arun): deep crawl when
+        a strategy is configured (the DeepCrawlDecorator divert,
+        base_strategy.py:10-43), else one cached/robots-gated fetch."""
+        return self.arun_many([url], config)
+
+    def arun_many(
+        self, urls: list[str], config: CrawlerRunConfig | None = None
+    ) -> DataFrame:
+        config = config or CrawlerRunConfig()
+        if config.deep_crawl_strategy is not None:
+            spec = config.deep_crawl_strategy.to_spec(
+                politeness=config.politeness,
+                robots=self.robots if config.check_robots_txt else None,
+            )
+            engine = CrawlEngine(self.spark, self.pages, spec)
+            return engine.run(urls[0] if len(urls) == 1 else urls)
+        return self._fetch_batch(urls, config)
+
+    # -- the single-fetch pipeline (arun without a strategy) -----------------
+
+    def _fetch_batch(
+        self, urls: list[str], config: CrawlerRunConfig
+    ) -> DataFrame:
+        # None → ENABLED (async_webcrawler.py:261)
+        mode = config.cache_mode if config.cache_mode is not None else CacheMode.ENABLED
+        seeds = self.spark.createDataFrame(
+            [(u,) for u in urls], "url string"
+        ).dropDuplicates(["url"])
+
+        # cache read gate (cache_context.py:59-72) runs BEFORE the
+        # robots gate, as in the reference (cache read
+        # async_webcrawler.py:260-348; robots checked only before a
+        # live fetch, :383-397) — a cached row is served even when
+        # robots would block the fetch
+        if _should_read(mode):
+            gated = seeds.withColumn("__c", _cacheable(F.col("url")))
+            hits = (
+                gated.filter("__c")
+                .drop("__c")
+                .join(self.cache, "url", "inner")
+                .select(
+                    "url", "success", "status_code",
+                    F.lit(True).alias("from_cache"),
+                )
+            )
+            misses = gated.drop("__c").join(
+                hits.select("url"), "url", "left_anti"
+            )
+        else:
+            hits = None
+            misses = seeds
+
+        # robots gate on the fetch path (async_webcrawler.py:383-397):
+        # blocked rows emit 403 and are never fetched or cached
+        blocked = None
+        if config.check_robots_txt and self.robots is not None:
+            is_blocked = self.robots.blocked_column(F.col("url"))
+            blocked = misses.filter(is_blocked).select(
+                "url",
+                F.lit(False).alias("success"),
+                F.lit(403).alias("status_code"),
+                F.lit(False).alias("from_cache"),
+            )
+            misses = misses.filter(~is_blocked)
+
+        # live fetch = corpus join (S1/S2); unknown urls fail like a
+        # dead fetch
+        live = misses.join(
+            self.pages.select("url", "success", "status_code"), "url", "inner"
+        ).select("url", "success", "status_code", F.lit(False).alias("from_cache"))
+        dead = misses.join(self.pages.select("url"), "url", "left_anti").select(
+            "url",
+            F.lit(False).alias("success"),
+            F.lit(None).cast("int").alias("status_code"),
+            F.lit(False).alias("from_cache"),
+        )
+
+        # cache write gate (cache_context.py:74-87): successful,
+        # cacheable live fetches only (acache_url is called after a
+        # successful crawl, async_webcrawler.py:671-672)
+        if _should_write(mode):
+            self._cache_write(
+                live.filter(F.col("success") & _cacheable(F.col("url")))
+            )
+
+        out = live.unionByName(dead)
+        if hits is not None:
+            out = hits.unionByName(out)
+        if blocked is not None:
+            out = blocked.unionByName(out)
+        return out.select(*FETCH_RESULT_COLS)

@@ -1,0 +1,146 @@
+"""Reference-shaped facade (crawl4ai_spark.api): strategy objects,
+CacheMode read/write gates, robots gate, deep-crawl divert parity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.api import (
+    BestFirstCrawlingStrategy,
+    BFSDeepCrawlStrategy,
+    CacheMode,
+    CrawlerRunConfig,
+    DFSDeepCrawlStrategy,
+    WebCrawler,
+)
+from crawl4ai_spark.operators.frontier import CrawlEngine, CrawlSpec
+from crawl4ai_spark.operators.robots import RobotsRules
+from crawl4ai_spark.sources import corpus
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return corpus.build_pages(spark, 60).cache()
+
+
+def _url(i: int) -> str:
+    return corpus.py_canonical_url(i)
+
+
+def test_strategy_ctor_mapping():
+    s = BestFirstCrawlingStrategy(
+        max_depth=3, include_external=True, score_threshold=0.25, max_pages=7
+    )
+    spec = s.to_spec()
+    assert spec.strategy == "best_first"
+    assert spec.max_depth == 3 and spec.include_external
+    assert spec.score_threshold == 0.25 and spec.max_pages == 7
+    assert DFSDeepCrawlStrategy(max_depth=1).to_spec().strategy == "dfs"
+    d = BFSDeepCrawlStrategy(max_depth=1).to_spec()
+    assert d.strategy == "bfs" and d.score_threshold == -math.inf
+
+
+def test_deep_crawl_divert_matches_engine(spark, pages):
+    crawler = WebCrawler(spark, pages)
+    got = crawler.arun(
+        _url(1),
+        CrawlerRunConfig(deep_crawl_strategy=BFSDeepCrawlStrategy(max_depth=2)),
+    ).collect()
+    want = (
+        CrawlEngine(spark, pages, CrawlSpec(max_depth=2, strategy="bfs"))
+        .run(_url(1))
+        .collect()
+    )
+    key = lambda r: r["emit_seq"]
+    assert [(r["url"], r["depth"]) for r in sorted(got, key=key)] == [
+        (r["url"], r["depth"]) for r in sorted(want, key=key)
+    ]
+
+
+def test_cache_mode_gates(spark, pages):
+    crawler = WebCrawler(spark, pages)
+    u = _url(1)
+
+    # ENABLED miss: live fetch, then written to cache
+    r1 = crawler.arun(u, CrawlerRunConfig(cache_mode=CacheMode.ENABLED)).collect()
+    assert len(r1) == 1 and not r1[0]["from_cache"] and r1[0]["success"]
+    assert crawler.cache.count() == 1
+
+    # ENABLED hit: served from cache
+    r2 = crawler.arun(u, CrawlerRunConfig(cache_mode=CacheMode.ENABLED)).collect()
+    assert r2[0]["from_cache"]
+
+    # BYPASS: ignores the cache both ways
+    r3 = crawler.arun(u, CrawlerRunConfig(cache_mode=CacheMode.BYPASS)).collect()
+    assert not r3[0]["from_cache"]
+    assert crawler.cache.count() == 1
+
+    # READ_ONLY on a new url: live fetch, NOT written
+    v = _url(2)
+    r4 = crawler.arun(v, CrawlerRunConfig(cache_mode=CacheMode.READ_ONLY)).collect()
+    assert not r4[0]["from_cache"]
+    assert crawler.cache.filter(F.col("url") == v).count() == 0
+
+    # WRITE_ONLY: no read (u stays live-fetched) but v gets written
+    r5 = crawler.arun_many(
+        [u, v], CrawlerRunConfig(cache_mode=CacheMode.WRITE_ONLY)
+    ).collect()
+    assert all(not r["from_cache"] for r in r5)
+    assert crawler.cache.filter(F.col("url") == v).count() == 1
+
+    # DISABLED: neither
+    w = _url(3)
+    crawler.arun(w, CrawlerRunConfig(cache_mode=CacheMode.DISABLED)).collect()
+    assert crawler.cache.filter(F.col("url") == w).count() == 0
+
+    # config.cache_mode=None defaults to ENABLED (async_webcrawler.py:261)
+    r7 = crawler.arun(u, CrawlerRunConfig(cache_mode=None)).collect()
+    assert r7[0]["from_cache"]
+
+
+def test_dead_url_fails_and_is_not_cached(spark, pages):
+    crawler = WebCrawler(spark, pages)
+    r = crawler.arun(
+        "https://nowhere.example.com/x",
+        CrawlerRunConfig(cache_mode=CacheMode.ENABLED),
+    ).collect()
+    assert len(r) == 1 and not r[0]["success"] and r[0]["status_code"] is None
+    assert crawler.cache.count() == 0
+
+
+def test_robots_gate_403_never_fetched_or_cached(spark, pages):
+    u = _url(1)
+    dom = u.split("/")[2]
+    robots = RobotsRules(disallow={dom: ["/docs"]})
+    crawler = WebCrawler(spark, pages, robots=robots)
+    cfg = CrawlerRunConfig(cache_mode=CacheMode.ENABLED, check_robots_txt=True)
+    rows = {r["url"]: r for r in crawler.arun_many([u, _url(2)], cfg).collect()}
+    blocked = rows[u]
+    assert not blocked["success"] and blocked["status_code"] == 403
+    assert crawler.cache.filter(F.col("url") == u).count() == 0
+    # robots off: same url fetches fine
+    ok = crawler.arun(u, CrawlerRunConfig(cache_mode=CacheMode.BYPASS)).collect()
+    assert ok[0]["success"]
+    # reference ordering: the cache is read BEFORE the robots gate
+    # (async_webcrawler.py:260-348 vs :383-397) — once cached (with the
+    # gate off), the blocked url is served from cache
+    crawler.arun(u, CrawlerRunConfig(cache_mode=CacheMode.ENABLED))
+    served = crawler.arun(u, cfg).collect()
+    assert served[0]["from_cache"] and served[0]["success"]
+
+
+def test_durable_cache_is_versioned(spark, pages, tmp_path):
+    cache_dir = str(tmp_path / "fetched")
+    crawler = WebCrawler(spark, pages, cache_dir=cache_dir)
+    crawler.arun(_url(1), CrawlerRunConfig(cache_mode=CacheMode.ENABLED))
+    crawler.arun(_url(2), CrawlerRunConfig(cache_mode=CacheMode.ENABLED))
+    t = crawler._cache_table
+    assert t.current_version() == 2  # create + two MERGE commits
+    assert t.read(1).count() == 1 and t.read(2).count() == 2
+    # a new crawler over the same dir resumes the cache
+    crawler2 = WebCrawler(spark, pages, cache_dir=cache_dir)
+    r = crawler2.arun(_url(1), CrawlerRunConfig(cache_mode=CacheMode.ENABLED)).collect()
+    assert r[0]["from_cache"]
