@@ -32,5 +32,7 @@ from crawl4ai_spark.api import (  # noqa: F401
     CacheMode,
     CrawlerRunConfig,
     DFSDeepCrawlStrategy,
+    SeedingConfig,
+    UrlSeeder,
     WebCrawler,
 )

@@ -141,6 +141,99 @@ class CrawlerRunConfig:
 FETCH_RESULT_COLS = ["url", "success", "status_code", "from_cache"]
 
 
+@dataclass
+class SeedingConfig:
+    """The crawl-tier subset of the reference SeedingConfig
+    (async_configs.py:2339-2362).  ``live_check``/``concurrency``/
+    ``hits_per_sec`` govern live HTTP in the reference; here discovery
+    reads tables, so they have no analog (Spark parallelism + the
+    politeness layer cover them)."""
+
+    source: str = "sitemap+cc"
+    pattern: str | None = "*"
+    extract_head: bool = False
+    max_urls: int = -1  # -1 = no limit (reference convention)
+    query: str | None = None
+    score_threshold: float | None = None
+    scoring_method: str = "bm25"
+    filter_nonsense_urls: bool = True
+
+
+class UrlSeeder:
+    """``AsyncUrlSeeder`` analog (async_url_seeder.py:364-555): the
+    discovery sources are tables — a sitemap corpus
+    ``(sitemap_url, content)``, a Common Crawl columnar index, and an
+    optional head-metadata corpus ``(url, head_text)`` for BM25
+    relevance (the head-extraction analog, fetch-as-join).
+
+    ``urls(domain, config)`` = union sources → nonsense filter → glob
+    pattern → dedupe → [BM25 score + threshold + sort] → max_urls cap,
+    exactly the reference pipeline order (dedupe :447-462, scoring
+    :540-548, cap :489-508)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sitemap_docs: DataFrame | None = None,
+        cc_index: DataFrame | None = None,
+        heads: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.sitemap_docs = sitemap_docs
+        self.cc_index = cc_index
+        self.heads = heads
+
+    def urls(
+        self, domain: str | list[str], config: SeedingConfig | None = None
+    ) -> DataFrame:
+        from crawl4ai_spark.sources.seeder import corpus_bm25, seed_pipeline
+        from crawl4ai_spark.sources.sitemap import (
+            cc_index_seeds,
+            seed_from_sitemaps,
+        )
+
+        cfg = config or SeedingConfig()
+        domains = [domain] if isinstance(domain, str) else list(domain)
+        srcs: list[DataFrame] = []
+        if "sitemap" in cfg.source:
+            if self.sitemap_docs is None:
+                raise ValueError("source includes 'sitemap' but no sitemap_docs")
+            ddf = self.spark.createDataFrame(
+                [(d,) for d in domains], "domain string"
+            )
+            srcs.append(
+                seed_from_sitemaps(ddf, self.sitemap_docs).select("url")
+            )
+        if "cc" in cfg.source:
+            if self.cc_index is None:
+                raise ValueError("source includes 'cc' but no cc_index")
+            for d in domains:
+                srcs.append(cc_index_seeds(self.cc_index, d).select("url"))
+        if not srcs:
+            raise ValueError(f"unknown seeding source: {cfg.source!r}")
+
+        relevance = None
+        threshold = None
+        if (
+            cfg.query
+            and cfg.extract_head
+            and cfg.scoring_method == "bm25"
+            and self.heads is not None
+        ):
+            relevance = corpus_bm25(
+                self.heads, cfg.query, text_col="head_text", key_col="url"
+            ).select("url", "relevance_score")
+            threshold = cfg.score_threshold
+        return seed_pipeline(
+            srcs,
+            max_urls=cfg.max_urls if cfg.max_urls > 0 else None,
+            pattern=cfg.pattern,
+            relevance=relevance,
+            filter_nonsense=cfg.filter_nonsense_urls,
+            score_threshold=threshold,
+        )
+
+
 class WebCrawler:
     """``AsyncWebCrawler`` analog: holds "the web" (a pages DataFrame —
     fetch is a join, S1/S2) plus the fetched-cache and robots state the

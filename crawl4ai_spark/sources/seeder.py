@@ -173,22 +173,28 @@ def seed_pipeline(
     pattern: str | None = None,
     relevance: DataFrame | None = None,
     key_col: str = "url",
+    filter_nonsense: bool = True,
+    score_threshold: float | None = None,
 ) -> DataFrame:
-    """union → nonsense filter → [glob pattern] → dedupe → [join
-    relevance + sort desc] → limit (the seeder's urls() pipeline)."""
+    """union → [nonsense filter] → [glob pattern] → dedupe → [join
+    relevance + threshold + sort desc] → limit (the seeder's urls()
+    pipeline; score_threshold drops low-relevance urls BEFORE the cap,
+    async_url_seeder.py:540-555)."""
     import fnmatch
 
     out = sources[0]
     for s in sources[1:]:
         out = out.unionByName(s, allowMissingColumns=True)
-    out = out.filter(~is_nonsense_url(F.col(key_col)))
+    if filter_nonsense:
+        out = out.filter(~is_nonsense_url(F.col(key_col)))
     if pattern and pattern != "*":
         out = out.filter(F.col(key_col).rlike(fnmatch.translate(pattern)))
     out = out.dropDuplicates([key_col])
     if relevance is not None:
-        out = out.join(relevance, key_col, "left").orderBy(
-            F.desc("relevance_score"), F.asc(key_col)
-        )
+        out = out.join(relevance, key_col, "left")
+        if score_threshold is not None:
+            out = out.filter(F.col("relevance_score") >= score_threshold)
+        out = out.orderBy(F.desc("relevance_score"), F.asc(key_col))
     if max_urls is not None and max_urls > 0:
         out = out.limit(max_urls)
     return out

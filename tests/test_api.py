@@ -132,6 +132,78 @@ def test_robots_gate_403_never_fetched_or_cached(spark, pages):
     assert served[0]["from_cache"] and served[0]["success"]
 
 
+SITEMAP = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://a.com/blog/p1</loc></url>
+  <url><loc>https://a.com/blog/p2</loc></url>
+  <url><loc>https://a.com/robots.txt</loc></url>
+</urlset>"""
+
+
+def test_url_seeder_pipeline(spark):
+    from crawl4ai_spark.api import SeedingConfig, UrlSeeder
+
+    sitemap_docs = spark.createDataFrame(
+        [("https://a.com/sitemap.xml", SITEMAP)],
+        "sitemap_url string, content string",
+    )
+    cc_index = spark.createDataFrame(
+        [
+            ("a.com", "https://a.com/blog/p2"),   # duplicate across sources
+            ("a.com", "https://a.com/cc/only"),
+            ("b.com", "https://b.com/x"),          # other domain, excluded
+        ],
+        "url_host_registered_domain string, url string",
+    )
+    heads = spark.createDataFrame(
+        [
+            ("https://a.com/blog/p1", "spark data spark pipelines"),
+            ("https://a.com/blog/p2", "spark mentioned once"),
+            ("https://a.com/cc/only", "nothing relevant here"),
+        ],
+        "url string, head_text string",
+    )
+    seeder = UrlSeeder(spark, sitemap_docs, cc_index, heads)
+
+    # plain discovery: union + nonsense filter + dedupe
+    plain = {r["url"] for r in seeder.urls("a.com").collect()}
+    assert plain == {
+        "https://a.com/blog/p1", "https://a.com/blog/p2",
+        "https://a.com/cc/only",
+    }  # robots.txt filtered, p2 deduped, b.com absent
+
+    # nonsense filter off keeps robots.txt (reference flag)
+    keep = seeder.urls("a.com", SeedingConfig(filter_nonsense_urls=False))
+    assert "https://a.com/robots.txt" in {r["url"] for r in keep.collect()}
+
+    # BM25 scoring: sorted desc, threshold drops the irrelevant url
+    cfg = SeedingConfig(
+        extract_head=True, query="spark data", score_threshold=0.01
+    )
+    scored = seeder.urls("a.com", cfg).collect()
+    assert [r["url"] for r in scored] == [
+        "https://a.com/blog/p1", "https://a.com/blog/p2",
+    ]
+    assert scored[0]["relevance_score"] >= scored[1]["relevance_score"]
+
+    # pattern + cap; single-source configs
+    pat = seeder.urls(
+        "a.com", SeedingConfig(source="sitemap", pattern="*blog*")
+    )
+    assert {r["url"] for r in pat.collect()} == {
+        "https://a.com/blog/p1", "https://a.com/blog/p2",
+    }
+    cc_only = seeder.urls("a.com", SeedingConfig(source="cc", max_urls=1))
+    assert cc_only.count() == 1
+
+    with pytest.raises(ValueError):
+        seeder.urls("a.com", SeedingConfig(source="wayback"))
+    with pytest.raises(ValueError):
+        UrlSeeder(spark, sitemap_docs).urls(
+            "a.com", SeedingConfig(source="cc")
+        )
+
+
 def test_durable_cache_is_versioned(spark, pages, tmp_path):
     cache_dir = str(tmp_path / "fetched")
     crawler = WebCrawler(spark, pages, cache_dir=cache_dir)
