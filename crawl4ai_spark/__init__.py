@@ -27,6 +27,8 @@ from crawl4ai_spark.session import get_spark  # noqa: F401
 # Reference-shaped user surface (api.py) — imported lazily-safe: these
 # pull only pyspark + package-internal modules.
 from crawl4ai_spark.api import (  # noqa: F401
+    AdaptiveConfig,
+    AdaptiveCrawler,
     BestFirstCrawlingStrategy,
     BFSDeepCrawlStrategy,
     CacheMode,

@@ -142,6 +142,100 @@ FETCH_RESULT_COLS = ["url", "success", "status_code", "from_cache"]
 
 
 @dataclass
+class AdaptiveConfig:
+    """The statistical-strategy subset of the reference AdaptiveConfig
+    (adaptive_crawler.py:154-168); embedding/LLM strategy knobs are
+    covered by functions/adaptive_embedding.py, and the confidence
+    weights are fixed at the reference's 0.4/0.3/0.3
+    (adaptive_crawler.py:309-326)."""
+
+    confidence_threshold: float = 0.7
+    max_depth: int = 5
+    max_pages: int = 20
+    top_k_links: int = 3
+    min_gain_threshold: float = 0.1
+    saturation_threshold: float = 0.8
+
+
+class AdaptiveCrawler:
+    """Reference entry point ``AdaptiveCrawler(crawler, config)`` +
+    ``digest(start_url, query)`` (adaptive_crawler.py:1292-1446) over
+    the composed Spark loop (operators/adaptive_crawl.py).  Returns
+    the per-round confidence stream DataFrame; ``confidence`` /
+    ``coverage_stats`` mirror the reference's post-digest accessors."""
+
+    def __init__(self, crawler: WebCrawler, config: AdaptiveConfig | None = None):
+        self.crawler = crawler
+        self.config = config or AdaptiveConfig()
+        self._history: DataFrame | None = None
+
+    def digest(self, start_url: str, query: str) -> DataFrame:
+        from crawl4ai_spark.operators.adaptive_crawl import (
+            AdaptiveCrawler as _Engine,
+            AdaptiveSpec,
+        )
+
+        cfg = self.config
+        spec = AdaptiveSpec(
+            query=query,
+            confidence_threshold=cfg.confidence_threshold,
+            max_depth=cfg.max_depth,
+            max_pages=cfg.max_pages,
+            top_k_links=cfg.top_k_links,
+            min_gain_threshold=cfg.min_gain_threshold,
+            saturation_threshold=cfg.saturation_threshold,
+        )
+        pages = self.crawler.pages
+        if "text" not in pages.columns:
+            raise ValueError(
+                "adaptive digest needs a 'text' column on the pages "
+                "table (the KB is built from page text)"
+            )
+        if "href" in _links_element_fields(pages):
+            # corpus-shaped links (array<struct<href,...>>) → plain urls
+            pages = pages.withColumn(
+                "links", F.transform(F.col("links"), lambda l: l.getField("href"))
+            )
+        self._history = _Engine(self.crawler.spark, pages, spec).digest(start_url)
+        return self._history
+
+    @property
+    def confidence(self) -> float:
+        """Final confidence (reference ``adaptive.confidence``)."""
+        if self._history is None:
+            raise RuntimeError("digest() has not run")
+        rows = self._history.orderBy(F.desc("round")).limit(1).collect()
+        return float(rows[0]["confidence"]) if rows else 0.0
+
+    def coverage_stats(self) -> dict:
+        """Final-round stats dict (reference print_stats data)."""
+        if self._history is None:
+            raise RuntimeError("digest() has not run")
+        rows = self._history.orderBy(F.desc("round")).limit(1).collect()
+        if not rows:
+            return {}
+        r = rows[0]
+        return {
+            "pages_crawled": r["n_kb"],
+            "coverage": r["coverage"],
+            "consistency": r["consistency"],
+            "saturation": r["saturation"],
+            "confidence": r["confidence"],
+            "stop_reason": r["stop_reason"],
+        }
+
+
+def _links_element_fields(pages: DataFrame) -> list[str]:
+    """Field names of the links array element, [] for plain strings."""
+    from pyspark.sql import types as T
+
+    f = pages.schema["links"].dataType
+    if isinstance(f, T.ArrayType) and isinstance(f.elementType, T.StructType):
+        return [sf.name for sf in f.elementType.fields]
+    return []
+
+
+@dataclass
 class SeedingConfig:
     """The crawl-tier subset of the reference SeedingConfig
     (async_configs.py:2339-2362).  ``live_check``/``concurrency``/

@@ -132,6 +132,42 @@ def test_robots_gate_403_never_fetched_or_cached(spark, pages):
     assert served[0]["from_cache"] and served[0]["success"]
 
 
+def test_adaptive_facade_matches_engine(spark):
+    from crawl4ai_spark.api import AdaptiveConfig, AdaptiveCrawler
+    from crawl4ai_spark.operators.adaptive_crawl import (
+        AdaptiveCrawler as Engine,
+        AdaptiveSpec,
+    )
+    from crawl4ai_spark.sources.adaptive_corpus import (
+        adaptive_url,
+        build_adaptive_pages,
+    )
+
+    pages = build_adaptive_pages(spark, 40)
+    cfg = AdaptiveConfig(confidence_threshold=0.5, max_depth=4)
+    adaptive = AdaptiveCrawler(WebCrawler(spark, pages), cfg)
+    with pytest.raises(RuntimeError):
+        _ = adaptive.confidence
+    hist = adaptive.digest(adaptive_url(0), "alpha beta").collect()
+
+    want = Engine(
+        spark, pages,
+        AdaptiveSpec(query="alpha beta", confidence_threshold=0.5, max_depth=4),
+    ).digest(adaptive_url(0)).collect()
+    assert [tuple(r) for r in hist] == [tuple(r) for r in want]
+    stats = adaptive.coverage_stats()
+    assert stats["confidence"] == pytest.approx(adaptive.confidence)
+    assert stats["stop_reason"] in (
+        "confidence", "max_pages", "no_links", "saturation", "max_depth",
+    )
+
+    # struct-shaped links (corpus pages) need a text column
+    with pytest.raises(ValueError):
+        AdaptiveCrawler(
+            WebCrawler(spark, corpus.build_pages(spark, 20))
+        ).digest(_url(1), "q")
+
+
 SITEMAP = """<?xml version="1.0"?>
 <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
   <url><loc>https://a.com/blog/p1</loc></url>
