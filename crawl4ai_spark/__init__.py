@@ -34,6 +34,8 @@ from crawl4ai_spark.api import (  # noqa: F401
     CacheMode,
     CrawlerRunConfig,
     DFSDeepCrawlStrategy,
+    DomainMapper,
+    DomainMapperConfig,
     SeedingConfig,
     UrlSeeder,
     WebCrawler,

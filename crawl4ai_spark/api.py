@@ -141,6 +141,97 @@ class CrawlerRunConfig:
 FETCH_RESULT_COLS = ["url", "success", "status_code", "from_cache"]
 
 
+VALID_MAPPER_SOURCES = {
+    "sitemap", "cc", "wayback", "crt", "probe", "robots", "feed",
+}  # domain_mapper.py:83 minus "homepage" (browser-only, content-tier)
+
+
+@dataclass
+class DomainMapperConfig:
+    """Crawl-tier subset of the reference DomainMapperConfig
+    (async_configs.py:2434-2465); live-HTTP knobs (concurrency,
+    hits_per_sec, timeouts, soft-404 detection) have no table analog."""
+
+    source: str = "sitemap+cc+crt+probe"  # reference default
+    max_urls: int = -1
+    filter_nonsense_urls: bool = True
+    query: str | None = None
+    score_threshold: float | None = None
+    scoring_method: str = "bm25"
+
+
+class DomainMapper:
+    """``DomainMapper.scan(domain, config)`` analog
+    (domain_mapper.py:122,206-303): multi-source URL discovery —
+    host discovery (crt/wayback/cc) then per-source URL mining with
+    first-source-wins dedupe — over the table-backed sources
+    (sources/domain_mapper.py).  Returns (url, host, source) plus
+    ``relevance_score`` when BM25 scoring is configured."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        sitemap_seeds: DataFrame | None = None,
+        cc_index: DataFrame | None = None,
+        wayback_cdx: DataFrame | None = None,
+        ct_entries: DataFrame | None = None,
+        robots_docs: DataFrame | None = None,
+        homepages: DataFrame | None = None,
+        heads: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.sitemap_seeds = sitemap_seeds
+        self.cc_index = cc_index
+        self.wayback_cdx = wayback_cdx
+        self.ct_entries = ct_entries
+        self.robots_docs = robots_docs
+        self.homepages = homepages
+        self.heads = heads
+
+    def scan(
+        self, domain: str, config: DomainMapperConfig | None = None
+    ) -> DataFrame:
+        import re as _re
+
+        from crawl4ai_spark.sources.domain_mapper import map_domain
+        from crawl4ai_spark.sources.seeder import corpus_bm25, is_nonsense_url
+
+        cfg = config or DomainMapperConfig()
+        sources = {s.strip().lower() for s in cfg.source.split("+") if s.strip()}
+        invalid = sources - VALID_MAPPER_SOURCES
+        if invalid:  # domain_mapper.py:233-235
+            raise ValueError(
+                f"Invalid source(s): {invalid}. Valid: {VALID_MAPPER_SOURCES}"
+            )
+        base_domain = _re.sub(r"^https?://", "", domain).strip("/").lower()
+        out = map_domain(
+            base_domain,
+            self.pages,
+            sitemap_seeds=self.sitemap_seeds if "sitemap" in sources else None,
+            cc_index=self.cc_index if "cc" in sources else None,
+            wayback_cdx=self.wayback_cdx if "wayback" in sources else None,
+            ct_entries=self.ct_entries if "crt" in sources else None,
+            robots_docs=self.robots_docs if "robots" in sources else None,
+            homepages=self.homepages if "feed" in sources else None,
+            probe="probe" in sources,
+        )
+        if cfg.filter_nonsense_urls:
+            out = out.filter(~is_nonsense_url(F.col("url")))
+        if cfg.query and cfg.scoring_method == "bm25" and self.heads is not None:
+            rel = corpus_bm25(
+                self.heads, cfg.query, text_col="head_text", key_col="url"
+            ).select("url", "relevance_score")
+            out = out.join(rel, "url", "left")
+            if cfg.score_threshold is not None:
+                out = out.filter(F.col("relevance_score") >= cfg.score_threshold)
+            out = out.orderBy(F.desc("relevance_score"), F.asc("url"))
+        if cfg.max_urls > 0:
+            out = out.limit(cfg.max_urls)
+        return out
+
+
 @dataclass
 class AdaptiveConfig:
     """The statistical-strategy subset of the reference AdaptiveConfig

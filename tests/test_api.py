@@ -240,6 +240,52 @@ def test_url_seeder_pipeline(spark):
         )
 
 
+def test_domain_mapper_facade(spark):
+    from crawl4ai_spark.api import DomainMapper, DomainMapperConfig
+
+    mpages = spark.createDataFrame(
+        [("https://ex.com/",), ("https://ex.com/docs",)], "url string"
+    )
+    sitemap_seeds = spark.createDataFrame(
+        [("https://ex.com/docs",), ("https://ex.com/sm-only",),
+         ("https://ex.com/robots.txt",)],
+        "url string",
+    )
+    cdx = spark.createDataFrame(
+        [("https://ex.com/wb-only",)], "original string"
+    )
+    mapper = DomainMapper(
+        spark, mpages, sitemap_seeds=sitemap_seeds, wayback_cdx=cdx
+    )
+
+    # default sources exclude wayback; probe mines the corpus root;
+    # nonsense urls (robots.txt) filtered by default
+    got = {r["url"]: r["source"] for r in
+           mapper.scan("https://EX.com/").collect()}
+    assert got["https://ex.com/docs"] == "sitemap"
+    assert got["https://ex.com/"] == "probe"
+    assert "https://ex.com/wb-only" not in got
+    assert "https://ex.com/robots.txt" not in got
+
+    # explicit wayback source includes it; nonsense kept when disabled
+    got2 = {r["url"] for r in mapper.scan(
+        "ex.com",
+        DomainMapperConfig(source="sitemap+wayback",
+                           filter_nonsense_urls=False),
+    ).collect()}
+    assert "https://ex.com/wb-only" in got2
+    assert "https://ex.com/robots.txt" in got2
+
+    # invalid source rejected with the reference's error shape
+    with pytest.raises(ValueError, match="Invalid source"):
+        mapper.scan("ex.com", DomainMapperConfig(source="sitemap+homepage"))
+
+    # max_urls cap
+    assert mapper.scan(
+        "ex.com", DomainMapperConfig(max_urls=1)
+    ).count() == 1
+
+
 def test_durable_cache_is_versioned(spark, pages, tmp_path):
     cache_dir = str(tmp_path / "fetched")
     crawler = WebCrawler(spark, pages, cache_dir=cache_dir)
