@@ -568,6 +568,26 @@ def main() -> None:
 
     timed("text_stats", stats)
 
+    # --- q7: chunking sweep (pure-JVM Column family, r4) --------------------
+    # fixed-50 + sliding(40,30) + overlapping(60,20) over every doc in
+    # one projection; the count forces full materialization of all
+    # three chunk arrays — no Python boundary anywhere in the plan
+    def chunking():
+        from crawl4ai_spark.functions import chunking as CHB
+
+        fixed = CHB.FixedLengthWordChunking(50).column(F.col("text"))
+        sliding = CHB.SlidingWindowChunking(40, 30).column(F.col("text"))
+        overlap = CHB.OverlappingWindowChunking(60, 20).column(F.col("text"))
+        row = docs.select(
+            F.sum(F.size(fixed)).alias("nf"),
+            F.sum(F.size(sliding)).alias("ns"),
+            F.sum(F.size(overlap)).alias("no"),
+        ).collect()[0]
+        extras["chunks_emitted"] = int(row["nf"] + row["ns"] + row["no"])
+        return extras["chunks_emitted"]
+
+    timed("chunking", chunking)
+
     total = round(sum(timings.values()), 3)
     busy1, steal1 = _read_stat()
     steal_pct = round(100.0 * (steal1 - _steal0) / max(busy1 - _busy0, 1), 2)
