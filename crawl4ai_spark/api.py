@@ -399,12 +399,12 @@ class UrlSeeder:
 
         relevance = None
         threshold = None
-        if (
-            cfg.query
-            and cfg.extract_head
-            and cfg.scoring_method == "bm25"
-            and self.heads is not None
-        ):
+        if cfg.query and cfg.extract_head and cfg.scoring_method == "bm25":
+            if self.heads is None:
+                raise ValueError(
+                    "BM25 scoring needs a heads corpus (url, head_text) — "
+                    "the head-extraction analog of extract_head=True"
+                )
             relevance = corpus_bm25(
                 self.heads, cfg.query, text_col="head_text", key_col="url"
             ).select("url", "relevance_score")
@@ -481,6 +481,8 @@ class WebCrawler:
     def arun_many(
         self, urls: list[str], config: CrawlerRunConfig | None = None
     ) -> DataFrame:
+        if not urls:
+            raise ValueError("arun_many needs at least one url")
         config = config or CrawlerRunConfig()
         if config.deep_crawl_strategy is not None:
             spec = config.deep_crawl_strategy.to_spec(
