@@ -136,6 +136,27 @@ class CrawlerRunConfig:
     check_robots_txt: bool = False
     stream: bool = False  # accepted; rounds already emit incrementally
     politeness: PolitenessSpec | None = None
+    # arun_many rate-limiter wiring (async_webcrawler.py:1054-1066:
+    # RateLimiter(base_delay=(mean_delay, mean_delay + max_range),
+    # max_delay=60, max_retries=3)).  Opt-in here because the
+    # politeness rounds change emission batching; the reference applies
+    # it to NON-deep arun_many batches only (deep crawls bypass the
+    # dispatcher, :1026-1052) and so does this facade.
+    enable_rate_limiting: bool = False
+    mean_delay: float = 0.1   # async_configs.py:1634
+    max_range: float = 0.3    # async_configs.py:1635
+
+    def effective_politeness(self) -> PolitenessSpec | None:
+        if self.politeness is not None:
+            return self.politeness
+        if self.enable_rate_limiting:
+            return PolitenessSpec(
+                base_lo=self.mean_delay,
+                base_hi=self.mean_delay + self.max_range,
+                max_delay=60.0,
+                max_retries=3,
+            )
+        return None
 
 
 FETCH_RESULT_COLS = ["url", "success", "status_code", "from_cache"]
@@ -541,10 +562,28 @@ class WebCrawler:
             misses = misses.filter(~is_blocked)
 
         # live fetch = corpus join (S1/S2); unknown urls fail like a
-        # dead fetch
-        live = misses.join(
-            self.pages.select("url", "success", "status_code"), "url", "inner"
-        ).select("url", "success", "status_code", F.lit(False).alias("from_cache"))
+        # dead fetch.  With rate limiting on, the fetch runs through
+        # the politeness engine (max_depth=0 rounds = the dispatcher's
+        # per-domain budget loop) instead of one flat join.
+        polite = config.effective_politeness()
+        if polite is not None:
+            eng = CrawlEngine(
+                self.spark,
+                self.pages,
+                CrawlSpec(max_depth=0, strategy="bfs", politeness=polite),
+            )
+            live = eng.run(misses.select("url")).select(
+                "url", "success", "status_code",
+                F.lit(False).alias("from_cache"),
+            )
+        else:
+            live = misses.join(
+                self.pages.select("url", "success", "status_code"),
+                "url", "inner",
+            ).select(
+                "url", "success", "status_code",
+                F.lit(False).alias("from_cache"),
+            )
         dead = misses.join(self.pages.select("url"), "url", "left_anti").select(
             "url",
             F.lit(False).alias("success"),

@@ -132,6 +132,34 @@ def test_robots_gate_403_never_fetched_or_cached(spark, pages):
     assert served[0]["from_cache"] and served[0]["success"]
 
 
+def test_rate_limited_batch_fetch(spark, pages):
+    """enable_rate_limiting routes the non-deep arun_many batch through
+    the politeness engine (the reference's dispatcher RateLimiter
+    wiring, async_webcrawler.py:1054-1066) — same result set as the
+    flat join, budget machinery exercised."""
+    urls = [_url(i) for i in range(1, 30)]
+    crawler = WebCrawler(spark, pages)
+    plain = crawler.arun_many(
+        urls, CrawlerRunConfig(cache_mode=CacheMode.BYPASS)
+    ).collect()
+    limited = crawler.arun_many(
+        urls,
+        CrawlerRunConfig(cache_mode=CacheMode.BYPASS, enable_rate_limiting=True),
+    ).collect()
+    key = lambda rows: sorted((r["url"], r["success"], r["status_code"]) for r in rows)
+    assert key(limited) == key(plain)
+    # explicit politeness spec wins over the mean_delay defaults
+    from crawl4ai_spark.operators.politeness import PolitenessSpec
+
+    cfg = CrawlerRunConfig(
+        politeness=PolitenessSpec(round_duration=2.0, seed=3),
+        enable_rate_limiting=True,
+    )
+    assert cfg.effective_politeness().round_duration == 2.0
+    d = CrawlerRunConfig(enable_rate_limiting=True).effective_politeness()
+    assert (d.base_lo, d.base_hi, d.max_delay, d.max_retries) == (0.1, 0.4, 60.0, 3)
+
+
 def test_adaptive_facade_matches_engine(spark):
     from crawl4ai_spark.api import AdaptiveConfig, AdaptiveCrawler
     from crawl4ai_spark.operators.adaptive_crawl import (
