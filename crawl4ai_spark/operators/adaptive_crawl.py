@@ -91,17 +91,29 @@ class AdaptiveCrawler:
     def _extend_kb(self, fetched_ranked: DataFrame) -> None:
         """Append fetched pages to the KB in selection-rank order (the
         reference appends results in crawl order — saturation depends
-        on it)."""
-        base = 0 if self.kb is None else self.kb.count()
-        part = fetched_ranked.select(
-            (F.lit(base) + F.col("__rk") - 1).cast("long").alias("ord"),
+        on it).  The append base comes from ``max(ord)+1`` INSIDE the
+        plan (a 1-row agg crossJoin), so no driver job is spent
+        counting the KB; the eager checkpoint is the round's only KB
+        materialization."""
+        if self.kb is None:
+            part = fetched_ranked.select(
+                (F.col("__rk") - 1).cast("long").alias("ord"), "url", "text"
+            )
+            self.kb = part.localCheckpoint(eager=True)
+            return
+        base = self.kb.agg(
+            F.coalesce(F.max("ord") + 1, F.lit(0)).alias("__base")
+        )
+        part = fetched_ranked.crossJoin(base).select(
+            (F.col("__base") + F.col("__rk") - 1).cast("long").alias("ord"),
             "url",
             "text",
         )
-        self.kb = part if self.kb is None else self.kb.unionByName(part)
-        self.kb = self.kb.localCheckpoint(eager=True)
+        self.kb = self.kb.unionByName(part).localCheckpoint(eager=True)
 
     def _add_pending(self, new_links: DataFrame) -> None:
+        # lazy checkpoints: materialized by the next round's fused
+        # stats job instead of their own driver jobs
         pend = new_links.select(F.explode("links").alias("url")).dropDuplicates(
             ["url"]
         )
@@ -110,23 +122,35 @@ class AdaptiveCrawler:
         if self.pending is not None:
             pend = pend.join(self.pending, "url", "left_anti")
             pend = self.pending.unionByName(pend)
-        self.pending = pend.localCheckpoint(eager=True)
+        self.pending = pend.localCheckpoint(eager=False)
 
     def _mark_crawled(self, urls: DataFrame) -> None:
         part = urls.select("url")
         self.crawled = (
             part if self.crawled is None else self.crawled.unionByName(part)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         if self.pending is not None:
             self.pending = self.pending.join(
                 part, "url", "left_anti"
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
 
     # -- the digest loop ------------------------------------------------------
 
     def digest(self, start_url: str) -> DataFrame:
         """Run the adaptive loop; returns the per-round confidence
-        stream (ROUND_SCHEMA) — the reference's metrics trace."""
+        stream (ROUND_SCHEMA) — the reference's metrics trace.
+
+        Runs under ``micro_plan_mode`` (AQE + constraint propagation
+        off): every frame in the loop is ≤ kb_limit rows, so AQE's
+        per-exchange re-plan jobs and the O(plan²) constraint pass are
+        pure driver latency — the same measured trade as the crawl
+        engine's strict loops."""
+        from crawl4ai_spark.session import micro_plan_mode
+
+        with micro_plan_mode(self.spark):
+            return self._digest(start_url)
+
+    def _digest(self, start_url: str) -> DataFrame:
         spec = self.spec
         seed = self.spark.createDataFrame([(start_url,)], "url string")
         fetched = self._fetch(seed).withColumn("__rk", F.lit(1))
@@ -135,18 +159,41 @@ class AdaptiveCrawler:
         self._add_pending(fetched)
 
         for depth in range(spec.max_depth + 1):
-            n_kb = self.kb.count() if self.kb is not None else 0
-            n_pending = self.pending.count() if self.pending is not None else 0
-            if n_kb == 0:
+            # ONE fused driver job per loop top: confidence (already a
+            # 1-row crossJoin of three aggs) × n_kb × n_pending
+            counts = self.kb.agg(F.count("*").alias("__nkb")) if (
+                self.kb is not None
+            ) else self.spark.range(1).select(F.lit(0).alias("__nkb"))
+            pend_n = self.pending.agg(F.count("*").alias("__npend")) if (
+                self.pending is not None
+            ) else self.spark.range(1).select(F.lit(0).alias("__npend"))
+            if self.kb is not None:
+                fused = (
+                    confidence_df(
+                        self.kb, spec.query, spec.kb_limit,
+                        id_col="ord", text_col="text",
+                    )
+                    .crossJoin(counts)
+                    .crossJoin(pend_n)
+                    .collect()
+                )
+            else:
+                fused = []
+            if not fused or int(fused[0]["__nkb"]) == 0:
+                # empty KB (seed fetch failed): fall back to the plain
+                # counts job for the recorded n_pending
+                n_pending = int(
+                    counts.crossJoin(pend_n).collect()[0]["__npend"]
+                )
                 self.history.append(
                     dict(round=depth, n_kb=0, n_pending=n_pending,
                          coverage=0.0, consistency=0.0, saturation=0.0,
                          confidence=0.0, stop_reason="no_kb")
                 )
                 break
-            conf = confidence_df(
-                self.kb, spec.query, spec.kb_limit, id_col="ord", text_col="text"
-            ).collect()[0]
+            conf = fused[0]
+            n_kb = int(conf["__nkb"])
+            n_pending = int(conf["__npend"])
             row = dict(
                 round=depth, n_kb=n_kb, n_pending=n_pending,
                 coverage=float(conf["coverage"]),

@@ -169,3 +169,15 @@ def test_stop_by_no_links(spark):
     rows = ac.digest(adaptive_url(0)).collect()
     assert len(rows) == 1
     assert rows[0]["stop_reason"] == "no_links"
+
+
+def test_no_kb_when_seed_fetch_fails(spark):
+    # seed absent from the corpus: the fetch-join yields nothing, the
+    # loop records one no_kb row and stops (fused-stats fallback path)
+    spec = AdaptiveSpec(query="alpha beta")
+    ac = AdaptiveCrawler(spark, build_adaptive_pages(spark, 40), spec)
+    rows = ac.digest("https://nowhere.example.com/").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["stop_reason"] == "no_kb" and r["n_kb"] == 0
+    assert r["confidence"] == 0.0 and r["n_pending"] == 0
