@@ -227,6 +227,11 @@ class DomainMapper:
                 f"Invalid source(s): {invalid}. Valid: {VALID_MAPPER_SOURCES}"
             )
         base_domain = _re.sub(r"^https?://", "", domain).strip("/").lower()
+        # crt/robots are host-discovery / probe-path sources: their
+        # yield surfaces as probed URLs (reference phase 2 scans every
+        # discovered host, domain_mapper.py:259-303), so selecting
+        # either implies the probe phase
+        probe_on = bool({"probe", "crt", "robots"} & sources)
         out = map_domain(
             base_domain,
             self.pages,
@@ -236,11 +241,16 @@ class DomainMapper:
             ct_entries=self.ct_entries if "crt" in sources else None,
             robots_docs=self.robots_docs if "robots" in sources else None,
             homepages=self.homepages if "feed" in sources else None,
-            probe="probe" in sources,
+            probe=probe_on,
         )
         if cfg.filter_nonsense_urls:
             out = out.filter(~is_nonsense_url(F.col("url")))
-        if cfg.query and cfg.scoring_method == "bm25" and self.heads is not None:
+        if cfg.query and cfg.scoring_method == "bm25":
+            if self.heads is None:
+                raise ValueError(
+                    "BM25 scoring needs a heads corpus (url, head_text) — "
+                    "the head-extraction analog of extract_head"
+                )
             rel = corpus_bm25(
                 self.heads, cfg.query, text_col="head_text", key_col="url"
             ).select("url", "relevance_score")
@@ -511,7 +521,25 @@ class WebCrawler:
                 robots=self.robots if config.check_robots_txt else None,
             )
             engine = CrawlEngine(self.spark, self.pages, spec)
-            return engine.run(urls[0] if len(urls) == 1 else urls)
+            res = engine.run(urls[0] if len(urls) == 1 else urls)
+            # cache WRITE gate on the deep path (the reference caches
+            # each successfully processed page, async_webcrawler.py:
+            # 671-672).  Cache READS are a semantic no-op here: the
+            # fetch is already a join against the same table the cache
+            # rows mirror, so should_read changes no values — only the
+            # write side is observable (and durable with cache_dir).
+            mode = (
+                config.cache_mode
+                if config.cache_mode is not None
+                else CacheMode.ENABLED
+            )
+            if _should_write(mode):
+                self._cache_write(
+                    res.filter(
+                        F.col("success") & _cacheable(F.col("url"))
+                    ).select("url", "success", "status_code")
+                )
+            return res
         return self._fetch_batch(urls, config)
 
     # -- the single-fetch pipeline (arun without a strategy) -----------------
@@ -572,10 +600,30 @@ class WebCrawler:
                 self.pages,
                 CrawlSpec(max_depth=0, strategy="bfs", politeness=polite),
             )
-            live = eng.run(misses.select("url")).select(
+            # corpus-known urls only: the dead anti-join below stays the
+            # single source of unknown-url failure rows on both paths
+            known = misses.join(self.pages.select("url"), "url", "left_semi")
+            emitted = eng.run(known).select(
                 "url", "success", "status_code",
                 F.lit(False).alias("from_cache"),
             )
+            # urls whose domain retired mid-batch are dropped by the
+            # engine's long-standing retired-domain semantics; the
+            # reference instead returns the rate-limited response past
+            # max_retries (async_dispatcher.py:75-85), so emit them
+            # terminally with their page status and success=False —
+            # one result row per input url, like the flat path
+            dropped = (
+                known.join(emitted.select("url"), "url", "left_anti")
+                .join(self.pages.select("url", "status_code"), "url")
+                .select(
+                    "url",
+                    F.lit(False).alias("success"),
+                    "status_code",
+                    F.lit(False).alias("from_cache"),
+                )
+            )
+            live = emitted.unionByName(dropped)
         else:
             live = misses.join(
                 self.pages.select("url", "success", "status_code"),

@@ -20,8 +20,9 @@ narrow JVM projection (contrast the reference: per-row Python loops).
 
 Word splitting follows Python ``str.split()`` semantics (split on any
 whitespace run, drop empties — chunking_strategy.py:165,196,237):
-``F.split(text, r"\\s+")`` then filtering ``""`` reproduces it exactly,
-including leading-whitespace rows.
+``F.split(text, r"(?U)\\s+")`` then filtering ``""`` reproduces it,
+including leading-whitespace rows and Unicode whitespace (see
+``words_of``).
 
 Reference edge semantics replicated bit-for-bit (pinned by
 tests/test_chunking.py against independent Python mirrors):
@@ -49,9 +50,15 @@ from pyspark.sql import functions as F
 
 
 def words_of(text: Column) -> Column:
-    """Python ``str.split()`` as a Column: whitespace runs, no empties."""
+    """Python ``str.split()`` as a Column: whitespace runs, no empties.
+
+    ``(?U)`` switches Java's ``\\s`` from ASCII-only to the Unicode
+    whitespace class, matching ``str.split()`` on real web text
+    (NBSP, line/paragraph separators, NEL).  The DuckDB oracle's RE2
+    ``\\s`` stays ASCII — fine for the pure-ASCII test corpus, noted
+    here because a Unicode corpus would need the oracle widened too."""
     return F.filter(
-        F.split(text, r"\s+"), lambda w: w != F.lit("")
+        F.split(text, r"(?U)\s+"), lambda w: w != F.lit("")
     )
 
 
@@ -76,9 +83,24 @@ class IdentityChunking(ChunkingStrategy):
 class RegexChunking(ChunkingStrategy):
     """Split by each pattern in turn, flattening between passes
     (chunking_strategy.py:38-63).  Empty fragments are kept, as
-    ``re.split`` keeps them."""
+    ``re.split`` keeps them.
+
+    Patterns with CAPTURING groups are rejected: ``re.split`` emits
+    captured separators into the result list, Java's split drops them
+    — silent divergence.  Use non-capturing ``(?:...)`` groups."""
 
     patterns: list[str] = field(default_factory=lambda: [r"\n\n"])
+
+    def __post_init__(self):
+        import re as _re
+
+        for p in self.patterns:
+            if _re.compile(p).groups > 0:
+                raise ValueError(
+                    f"pattern {p!r} has capturing groups: re.split would "
+                    "emit the separators, Spark split drops them — use "
+                    "(?:...) instead"
+                )
 
     def column(self, text: Column | str) -> Column:
         # one-arg lambda per pattern via a factory: a default-arg

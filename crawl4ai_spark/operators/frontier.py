@@ -315,22 +315,13 @@ class CrawlEngine:
         if not enable:
             yield
             return
-        conf = self.spark.conf
-        _CP = "spark.sql.constraintPropagation.enabled"
-        prev = conf.get("spark.sql.adaptive.enabled", "true")
-        prev_cp = conf.get(_CP, "true")
-        conf.set("spark.sql.adaptive.enabled", "false")
-        # Constraint propagation infers derived predicates across the
-        # loop's join/filter chains — an O(plan^2) optimizer pass that
-        # is pure driver latency here (the micro plans scan ≤ tens of
-        # rows; no scan benefits from an inferred filter) and the loop
-        # compiles 2 plans per round x dozens of rounds.
-        conf.set(_CP, "false")
-        try:
+        # the save/set/restore mechanics live in session.micro_plan_mode
+        # (shared with the adaptive digest loop); this wrapper only adds
+        # the enable gate keyed on batch size
+        from crawl4ai_spark.session import micro_plan_mode
+
+        with micro_plan_mode(self.spark):
             yield
-        finally:
-            conf.set("spark.sql.adaptive.enabled", prev)
-            conf.set(_CP, prev_cp)
 
     def results(self) -> DataFrame:
         if not self._result_parts:

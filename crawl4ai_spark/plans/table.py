@@ -27,11 +27,18 @@ remains readable forever (time travel) and a reader holding version N
 is never disturbed by a writer committing N+1 (snapshot isolation: data
 directories are immutable once their manifest lands).
 
-Concurrency is optimistic, Iceberg-style: a writer stages ``v=N+1`` and
-the atomic ``os.replace`` of the manifest publishes it; if another
-writer already published N+1 the replace is preceded by an existence
-check and the commit raises ``CommitConflict`` — retry on top of the
-new head, as an Iceberg ``commit.retry`` would.
+Concurrency is optimistic, Iceberg-style, with an exclusive CLAIM as
+the version gate: the first writer to create ``v=N/claim``
+(``open(..., "x")`` — atomic on POSIX) owns version N; every later
+claimant raises ``CommitConflict`` before staging anything, so two
+writers can never write into the same ``data/`` directory or delete
+each other's files.  The claim owner stages data, then publishes with
+an atomic manifest rename — readers only ever trust the manifest.
+On conflict, retry on top of the new head, as an Iceberg
+``commit.retry`` would.  A writer that crashes between claim and
+manifest leaves a claimed-but-unpublished version: readers ignore it
+(no manifest), and recovery is deleting that ``v=N`` directory — the
+same janitorial step as expiring a stale Iceberg metadata lock.
 
 MERGE is a DataFrame program, not a planner extension: match on the key
 columns; matched target rows are replaced by the source row (or deleted
@@ -46,7 +53,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -131,13 +137,20 @@ class VersionedTable:
     ) -> int:
         version = 0 if parent is None else parent + 1
         base = self.path / f"v={version}"
-        if (base / "manifest.json").exists():
-            raise CommitConflict(
-                f"version {version} already committed at {self.path}"
-            )
         base.mkdir(parents=True, exist_ok=True)
+        # exclusive claim: the one atomic gate deciding who owns this
+        # version — losers bail BEFORE staging, so no writer can ever
+        # overwrite or delete another's staged/published data files
+        try:
+            fd = os.open(base / "claim", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {version} already claimed at {self.path}"
+            ) from None
         if df is not None:
-            # data first; invisible until the manifest rename lands
+            # data staged by the claim owner only; invisible to readers
+            # until the manifest rename lands
             df.write.mode("overwrite").parquet(str(base / "data"))
             count = self.spark.read.parquet(str(base / "data")).count()
             data_ref = version
@@ -154,13 +167,6 @@ class VersionedTable:
         }
         tmp = base / "manifest.json.tmp"
         tmp.write_text(json.dumps(manifest, indent=1))
-        if (base / "manifest.json").exists():  # lost the race after staging
-            tmp.unlink()
-            if df is not None:
-                shutil.rmtree(base / "data", ignore_errors=True)
-            raise CommitConflict(
-                f"version {version} already committed at {self.path}"
-            )
         os.replace(tmp, base / "manifest.json")
         return version
 

@@ -137,7 +137,9 @@ def test_rate_limited_batch_fetch(spark, pages):
     the politeness engine (the reference's dispatcher RateLimiter
     wiring, async_webcrawler.py:1054-1066) — same result set as the
     flat join, budget machinery exercised."""
-    urls = [_url(i) for i in range(1, 30)]
+    # include an unknown url: both paths must emit exactly ONE row per
+    # input url (the politeness engine must not double-emit dead urls)
+    urls = [_url(i) for i in range(1, 30)] + ["https://nowhere.example.com/x"]
     crawler = WebCrawler(spark, pages)
     plain = crawler.arun_many(
         urls, CrawlerRunConfig(cache_mode=CacheMode.BYPASS)
@@ -148,6 +150,7 @@ def test_rate_limited_batch_fetch(spark, pages):
     ).collect()
     key = lambda rows: sorted((r["url"], r["success"], r["status_code"]) for r in rows)
     assert key(limited) == key(plain)
+    assert len(limited) == len(set(urls))
     # explicit politeness spec wins over the mean_delay defaults
     from crawl4ai_spark.operators.politeness import PolitenessSpec
 
@@ -312,6 +315,22 @@ def test_domain_mapper_facade(spark):
     assert mapper.scan(
         "ex.com", DomainMapperConfig(max_urls=1)
     ).count() == 1
+
+
+def test_deep_crawl_cache_write_gate(spark, pages):
+    """The deep path honors the cache WRITE gate (reference caches each
+    successfully processed page); default BYPASS writes nothing."""
+    crawler = WebCrawler(spark, pages)
+    deep = CrawlerRunConfig(deep_crawl_strategy=BFSDeepCrawlStrategy(max_depth=1))
+    crawler.arun(_url(1), deep)                       # BYPASS default
+    assert crawler.cache.count() == 0
+    deep_en = CrawlerRunConfig(
+        deep_crawl_strategy=BFSDeepCrawlStrategy(max_depth=1),
+        cache_mode=CacheMode.ENABLED,
+    )
+    res = crawler.arun(_url(1), deep_en).collect()
+    n_success = sum(1 for r in res if r["success"])
+    assert crawler.cache.count() == n_success > 0
 
 
 def test_durable_cache_is_versioned(spark, pages, tmp_path):

@@ -81,6 +81,9 @@ TEXTS = [
     " ".join(f"w{i}" for i in range(40)),
     "para one\n\npara two\n\npara three",
     "a,b;c d\n\ne,f",
+    # unicode whitespace: NBSP, EN QUAD, LINE SEPARATOR, NEL — Python
+    # str.split() splits all of these; (?U) makes Java \s match them
+    "foo bar baz qux\x85quux one two three four five",
 ]
 
 
@@ -120,6 +123,14 @@ def test_overlapping_window_parity(spark, win, ov):
 def test_overlap_geq_window_rejected():
     with pytest.raises(ValueError):
         OverlappingWindowChunking(window_size=5, overlap=5)
+
+
+def test_regex_capturing_groups_rejected():
+    # re.split emits captured separators; Java split drops them — the
+    # divergence is rejected loudly instead of silently mismatching
+    with pytest.raises(ValueError, match="capturing groups"):
+        RegexChunking([r"(\n\n)"])
+    RegexChunking([r"(?:\n\n)"])  # non-capturing is fine
 
 
 def test_chunk_table_shape_and_plan(spark):
