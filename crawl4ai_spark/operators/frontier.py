@@ -215,6 +215,10 @@ class CrawlEngine:
             self.pages = self.prepare_pages(pages)
         self._result_parts: list[DataFrame] = []
         self._emit_count = 0
+        # next unassigned frontier seq on the politeness path (set at
+        # the first round's recount; stays None on non-politeness paths,
+        # whose dense arithmetic needs no high-water mark)
+        self._seq_high: int | None = None
         self._pages_crawled = 0
         self._metrics: list[dict] = []
         # final frontier/stack/queue — kept as a LAZY (df, order_cols)
@@ -602,6 +606,20 @@ class CrawlEngine:
                     if "seq" in pending_df.columns
                     else [F.asc("url")]
                 )
+                # Re-expand the retry-epoch seq offsets the export's
+                # dense re-rank collapsed: without this, a previously
+                # requeued row (dense seq < n) would order AHEAD of
+                # children discovered after resume (seq ≥ n) —
+                # inverting the dispatcher's retried-behind-everything
+                # ordering.  Epoch = retry_count × stride, base = the
+                # dense rank (unique), exactly the live encoding.
+                rc_epoch = (
+                    F.coalesce(F.col("retry_count"), F.lit(0)).cast("long")
+                    * F.lit(RETRY_SEQ_STRIDE)
+                    if "retry_count" in pending_df.columns
+                    and spec.politeness is not None
+                    else F.lit(0).cast("long")
+                )
                 frontier = with_global_rank(
                     pending_df, order, "__rs_seq"
                 ).select(
@@ -609,7 +627,8 @@ class CrawlEngine:
                     F.col("parent_url").cast("string"),
                     F.col("depth").cast("int"),
                     F.lit(0.0).alias("score"),
-                    (F.col("__rs_seq") - F.lit(1)).cast("long").alias("seq"),
+                    ((F.col("__rs_seq") - F.lit(1)).cast("long") + rc_epoch)
+                    .alias("seq"),
                     *(
                         [F.col("retry_count").cast("int").alias("retry_count")]
                         if "retry_count" in pending_df.columns
@@ -619,10 +638,15 @@ class CrawlEngine:
             else:
                 pending_items = rs.get("pending", [])
                 if any("retry_count" in it for it in pending_items):
+                    # same epoch re-expansion as the table-resume path
+                    _stride = (
+                        RETRY_SEQ_STRIDE if spec.politeness is not None else 0
+                    )
                     frontier = spark.createDataFrame(
                         [
                             (it["url"], it.get("parent_url"),
-                             int(depths.get(it["url"], 0)), 0.0, i,
+                             int(depths.get(it["url"], 0)), 0.0,
+                             i + int(it.get("retry_count", 0)) * _stride,
                              int(it.get("retry_count", 0)))
                             for i, it in enumerate(pending_items)
                         ],
@@ -724,6 +748,15 @@ class CrawlEngine:
                 t["frontier_ckpt"] = round(time.time() - t0, 3)
                 if n_frontier == 0:
                     break
+                if self._seq_high is None:
+                    # round 0: the frontier is the dense-seq'd seed set
+                    # (requeue-epoch offsets only appear later), so its
+                    # size is the next unassigned child seq.  Children
+                    # must rank after every deferred row's ORIGINAL seq
+                    # — basing them on emit counts instead collides a
+                    # deferred row with a child (same seq ⇒ shuffle-
+                    # order-dependent budget/emission ties).
+                    self._seq_high = n_frontier
                 frontier_now, deferred = politeness.split_budget(frontier)
                 n_defer = None  # unknown until the loop-top recount
             elif (
@@ -1117,6 +1150,18 @@ class CrawlEngine:
                 offset_col = F.coalesce(offset_map[F.col("__b")], F.lit(0))
             else:
                 offset_col = F.lit(0)
+            # children's seq base: on the politeness path, deferred rows
+            # keep their ORIGINAL seqs, so children must start at the
+            # tracked high-water mark (seq ever assigned), not at the
+            # emit counter — emit-based bases collide with deferrals.
+            # The governor/capacity paths stay on the dense arithmetic
+            # (their deferred slice is exactly [cutoff, end), so
+            # emit_count + n_emit + n_defer IS the frontier end).
+            if politeness is not None:
+                child_base = self._seq_high
+                self._seq_high += n_next
+            else:
+                child_base = self._emit_count + n_emit + (n_defer or 0)
             w_next = Window.partitionBy("__b").orderBy("emit_seq", "child_ord")
             next_frontier = shuffled.withColumn(
                 "__next_rn", F.row_number().over(w_next) + offset_col
@@ -1127,9 +1172,7 @@ class CrawlEngine:
                 F.col("score"),
                 # children rank AFTER any governor-deferred rows so the
                 # next frontier's seqs stay dense and in BFS order
-                (F.col("__next_rn")
-                 + F.lit(self._emit_count + n_emit + (n_defer or 0)) - 1)
-                .alias("seq"),
+                (F.col("__next_rn") + F.lit(child_base) - 1).alias("seq"),
                 # parent's emit_seq: lets the per-URL state stream
                 # (on_state_change / per_url_states) attribute each child
                 # to the URL whose link_discovery produced it
@@ -1200,11 +1243,23 @@ class CrawlEngine:
             # final state on cancellation: pending = the un-crawled
             # remainder of the frontier (bfs_strategy.py:289-301)
             rows = frontier.orderBy("seq").collect()
+            has_rc = "retry_count" in frontier.columns
             state = {
                 "strategy_type": "bfs",
                 "visited": list(self._cb_visited),
+                # retry_count rides along (same fix as the table-export
+                # paths): resuming from this state must not silently
+                # reset politeness-requeue attempt counts
                 "pending": [
-                    {"url": r["url"], "parent_url": r["parent_url"]}
+                    {
+                        "url": r["url"],
+                        "parent_url": r["parent_url"],
+                        **(
+                            {"retry_count": int(r["retry_count"] or 0)}
+                            if has_rc
+                            else {}
+                        ),
+                    }
                     for r in rows
                 ],
                 "depths": dict(self._cb_depths),

@@ -111,10 +111,22 @@ def get_spark(
     if master.startswith("local-cluster"):
         # executor heap must fit the per-executor memory in the master
         # string (local-cluster[n,c,MEM_MB]); python workers are per
-        # executor, exactly as on a real cluster.
+        # executor, exactly as on a real cluster.  Default the heap to
+        # what the worker actually advertises (minus JVM headroom) —
+        # a flat default larger than the worker's allocation would make
+        # every executor launch request unfillable and the first action
+        # hang waiting for resources.
+        import re as _re
+
+        m = _re.match(r"local-cluster\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]", master)
+        if m:
+            worker_mb = int(m.group(1))
+            default_mem = f"{max(worker_mb - 512, 512)}m" if worker_mb < 2560 else "2g"
+        else:
+            default_mem = "2g"
         builder = builder.config(
             "spark.executor.memory",
-            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "2g"),
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", default_mem),
         )
         # Keep Spark's default delay scheduling (3s).  r4 measured the
         # r3 setting of 0s directly (tools/profile_topology.py): with

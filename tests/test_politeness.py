@@ -94,3 +94,31 @@ def test_engine_budget_compliance_and_coverage(spark):
         assert dom in state_rows
         assert state_rows[dom][0] == pytest.approx(delay, abs=1e-9)
         assert state_rows[dom][1] == fails
+
+
+def test_politeness_emission_deterministic_across_partitioning(spark):
+    """Children discovered on the politeness path must never collide
+    with deferred rows' seqs (children base = the seq high-water mark,
+    not the emit counter): with a collision, budget/emission ties break
+    on shuffle order and the emitted sequence varies with partitioning.
+    """
+    pages = corpus.build_pages(spark, 60)
+    start = corpus.py_canonical_url(1)
+    polite = PolitenessSpec(base_lo=1.0, base_hi=3.0, round_duration=3.0, seed=5)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    seqs = []
+    try:
+        for parts in ("3", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            eng = CrawlEngine(
+                spark, pages,
+                CrawlSpec(max_depth=2, strategy="bfs", politeness=polite),
+            )
+            rows = eng.run(start).collect()
+            seqs.append(
+                [r["url"] for r in sorted(rows, key=lambda x: x["emit_seq"])]
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert seqs[0] == seqs[1]
