@@ -23,6 +23,11 @@ Differences from the reference, by design (batch engine, not asyncio):
   multi-seed crawl (the production shape) rather than the reference's
   sequential per-seed loop (``async_webcrawler.py:1026-1052``); single
   seeds match the reference loop exactly.
+- On the deep path only the cache WRITE gate is observable: the fetch
+  is already a join against the table the cache rows mirror, so
+  ``should_read`` changes no values; successful pages are merged into
+  the cache under ENABLED/WRITE_ONLY exactly as the reference caches
+  each processed page.
 
 Strategy constructors are field-for-field the reference's
 (``bfs_strategy.py:25-43``, ``dfs_strategy.py``, ``bff_strategy.py:
