@@ -438,6 +438,12 @@ def url_hash(url_col: Column | str) -> Column:
     return F.xxhash64(url_col)
 
 
+# ONE netloc pattern shared by the Column extractor below and the
+# pure-Python oracle mirror (operators/politeness.py:py_domain_of):
+# oracle parity depends on the two staying byte-identical.
+NETLOC_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+
+
 def domain_of(url_col: Column | str) -> Column:
     """netloc extraction as a Column (lowercased, port kept).
 
@@ -445,4 +451,4 @@ def domain_of(url_col: Column | str) -> Column:
     the only kind that survives the validity predicate.
     """
     c = url_col if isinstance(url_col, Column) else F.col(url_col)
-    return F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    return F.lower(F.regexp_extract(c, NETLOC_RE, 1))

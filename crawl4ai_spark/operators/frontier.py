@@ -584,6 +584,14 @@ class CrawlEngine:
                 # table-resume path (VERDICT r2 #9): the seen set enters
                 # as a DataFrame and never touches the driver
                 seen.add(visited_df.select("url"))
+                if spec.on_state_change is not None:
+                    # the callback's state dicts must include the
+                    # pre-resume visited set; on_state_change is a
+                    # documented driver-sized parity mode, so the
+                    # collect is within its contract
+                    self._cb_visited = [
+                        r["url"] for r in visited_df.select("url").collect()
+                    ]
             else:
                 visited = rs.get("visited", [])
                 if visited:
@@ -813,13 +821,21 @@ class CrawlEngine:
                     or spec.on_state_change is not None
                     or spec.checkpoint_dir is not None
                 )
+                # a frontier resumed from a cancelled requeue crawl can
+                # carry retry_count even without politeness configured —
+                # preserve it instead of resetting attempts to 0
+                rc_col = (
+                    F.coalesce(F.col("retry_count"), F.lit(0)).cast("int")
+                    if "retry_count" in fetched.columns
+                    else F.lit(0).cast("int")
+                )
                 emitted = self._checkpoint(
                     fetched.withColumn("emit_seq", F.col("seq"))
                     .withColumn("round", F.lit(round_no))
                     .select(
                         "emit_seq", "round", "url", "depth", "parent_url",
                         "score", "success", "status_code",
-                        F.lit(0).cast("int").alias("retry_count"),
+                        rc_col.alias("retry_count"),
                         "links",
                     ),
                     eager=emit_eager,
@@ -883,16 +899,22 @@ class CrawlEngine:
             self._result_parts.append(emitted.drop("links"))
             if not fuse_stats:
                 self._pages_crawled += n_success
-                self._metrics.append(
-                    {
-                        "round": round_no,
-                        "strategy": "bfs",
-                        "fetched": n_round,
-                        "succeeded": n_success,
-                        "pages_crawled": self._pages_crawled,
-                        "t": t,
-                    }
-                )
+                round_metrics = {
+                    "round": round_no,
+                    "strategy": "bfs",
+                    "fetched": n_round,
+                    "succeeded": n_success,
+                    "pages_crawled": self._pages_crawled,
+                    "t": t,
+                }
+                if requeued is not None:
+                    # requeued responses were fetched too — without this
+                    # the metric undercounts every rate-limited fetch
+                    # (count rides the already-pinned verdict checkpoint)
+                    n_req = requeued.count()
+                    round_metrics["fetched"] = n_round + n_req
+                    round_metrics["requeued"] = n_req
+                self._metrics.append(round_metrics)
             if politeness is not None:
                 politeness.update(
                     pol_outcomes
@@ -1489,6 +1511,15 @@ class CrawlEngine:
                     if "retry_count" in pend.columns
                     else []
                 ),
+                # queue exports carry the heap key so the priority
+                # queue is reconstructible on table-resume (seq alone
+                # preserves order but not the scores the reference's
+                # queue_items serialize, bff_strategy.py:332-345)
+                *(
+                    [F.col("neg_score").cast("double").alias("neg_score")]
+                    if self._pending_kind == "queue"
+                    else []
+                ),
             ).write.mode("overwrite").parquet(str(base / "pending"))
         manifest = {
             "strategy_type": {
@@ -1538,21 +1569,46 @@ class CrawlEngine:
         )
         rs = spec.resume_state
         if rs:
+            visited_df = rs.get("visited_df")
+            if visited_df is not None:
+                # table-resume: the seen set enters as a DataFrame
+                seen.add(visited_df.select("url"))
             visited = rs.get("visited", [])
             if visited:
                 seen.add(spark.createDataFrame([(u,) for u in visited], "url string"))
             self._depths.update(rs.get("depths", {}))
             self._pages_crawled = int(rs.get("pages_crawled", 0))
-            items = rs.get("queue_items", [])
-            queue = spark.createDataFrame(
-                [
-                    (float(it["score"]), int(it["depth"]), it["url"],
-                     it.get("parent_url"), -1, i)
-                    for i, it in enumerate(items)
-                ],
-                queue_schema,
-            )
-            queue_size = len(items)
+            pdf = rs.get("pending_df")
+            if pdf is not None:
+                # table-resume queue (export_state_tables, kind="queue"):
+                # rows are in heap order with the neg_score heap key
+                if "neg_score" not in pdf.columns:
+                    raise ValueError(
+                        "best_first table-resume needs a 'neg_score' "
+                        "column in pending — re-export with this "
+                        "engine version (older exports dropped the "
+                        "heap key and cannot rebuild the queue)"
+                    )
+                queue = pdf.select(
+                    F.col("neg_score").cast("double").alias("neg_score"),
+                    F.col("depth").cast("int").alias("depth"),
+                    F.col("url"),
+                    F.col("parent_url").cast("string").alias("parent_url"),
+                    F.lit(-1).cast("int").alias("enq_round"),
+                    F.col("seq").cast("long").alias("enq_seq"),
+                )
+                queue_size = queue.count()
+            else:
+                items = rs.get("queue_items", [])
+                queue = spark.createDataFrame(
+                    [
+                        (float(it["score"]), int(it["depth"]), it["url"],
+                         it.get("parent_url"), -1, i)
+                        for i, it in enumerate(items)
+                    ],
+                    queue_schema,
+                )
+                queue_size = len(items)
         else:
             seed_df = spark.createDataFrame(
                 [(s, i) for i, s in enumerate(seeds)], "url string, enq_seq long"
@@ -1807,15 +1863,34 @@ class CrawlEngine:
             visited.update(rs.get("visited", []))
             self._depths.update(rs.get("depths", {}))
             self._pages_crawled = int(rs.get("pages_crawled", 0))
-            items = rs.get("stack", [])  # bottom → top
-            stack = spark.createDataFrame(
-                [
-                    (it["url"], it.get("parent_url"), int(it["depth"]), 0.0, i)
-                    for i, it in enumerate(items)
-                ],
-                stack_schema,
-            )
-            pos_counter = len(items) + 1
+            vdf = rs.get("visited_df")
+            if vdf is not None:
+                # table-resume: the exported seen table IS dfs_seen;
+                # visited stays empty — discovery-time dedupe pushes
+                # each url at most once, so no resumed stack entry can
+                # already be visited
+                dfs_seen.add(vdf.select("url"))
+            pdf = rs.get("pending_df")
+            if pdf is not None:
+                n_stack = pdf.count()
+                stack = pdf.select(
+                    "url",
+                    F.col("parent_url").cast("string").alias("parent_url"),
+                    F.col("depth").cast("int").alias("depth"),
+                    F.lit(0.0).alias("score"),
+                    (F.col("seq") + 1).cast("long").alias("pos"),
+                )
+                pos_counter = n_stack + 1
+            else:
+                items = rs.get("stack", [])  # bottom → top
+                stack = spark.createDataFrame(
+                    [
+                        (it["url"], it.get("parent_url"), int(it["depth"]), 0.0, i)
+                        for i, it in enumerate(items)
+                    ],
+                    stack_schema,
+                )
+                pos_counter = len(items) + 1
         else:
             dfs_seen.add(spark.createDataFrame([(s,) for s in seeds], "url string"))
             stack = spark.createDataFrame(
@@ -1827,6 +1902,10 @@ class CrawlEngine:
         round_no = 0
         pops_since_ckpt = 0
         while round_no < spec.max_rounds and not self._check_cancellation():
+            # loop-top page-cap check (same as _run_bff/_run_dfs_batched):
+            # a crawl resumed at/over max_pages must emit nothing
+            if self._pages_crawled >= spec.max_pages:
+                break
             # stack lives as a lazy filter/union chain over checkpointed
             # new_items parts; a full checkpoint every 4 pops bounds the
             # plan without paying a materialization job per URL
@@ -2027,16 +2106,35 @@ class CrawlEngine:
                 )
             self._depths.update(rs.get("depths", {}))
             self._pages_crawled = int(rs.get("pages_crawled", 0))
-            items = rs.get("stack", [])  # bottom → top
-            stack = spark.createDataFrame(
-                [
-                    (it["url"], it.get("parent_url"), int(it["depth"]), 0.0, i)
-                    for i, it in enumerate(items)
-                ],
-                stack_schema,
-            )
-            pos_counter = len(items) + 1
-            stack_size = len(items)
+            vdf = rs.get("visited_df")
+            if vdf is not None:
+                # table-resume (see strict-DFS note: exported seen =
+                # dfs_seen; an empty pop_seen is safe because discovery
+                # dedupe pushes each url at most once)
+                dfs_seen.add(vdf.select("url"))
+            pdf = rs.get("pending_df")
+            if pdf is not None:
+                n_stack = pdf.count()
+                stack = pdf.select(
+                    "url",
+                    F.col("parent_url").cast("string").alias("parent_url"),
+                    F.col("depth").cast("int").alias("depth"),
+                    F.lit(0.0).alias("score"),
+                    (F.col("seq") + 1).cast("long").alias("pos"),
+                )
+                pos_counter = n_stack + 1
+                stack_size = n_stack
+            else:
+                items = rs.get("stack", [])  # bottom → top
+                stack = spark.createDataFrame(
+                    [
+                        (it["url"], it.get("parent_url"), int(it["depth"]), 0.0, i)
+                        for i, it in enumerate(items)
+                    ],
+                    stack_schema,
+                )
+                pos_counter = len(items) + 1
+                stack_size = len(items)
         else:
             dfs_seen.add(spark.createDataFrame([(s,) for s in seeds], "url string"))
             stack = spark.createDataFrame(

@@ -334,5 +334,7 @@ class PyPoliteness:
 def py_domain_of(url: str) -> str:
     import re
 
-    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", url)
+    from crawl4ai_spark.functions.normalize import NETLOC_RE
+
+    m = re.match(NETLOC_RE, url)
     return m.group(1).lower() if m else ""

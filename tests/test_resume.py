@@ -109,3 +109,60 @@ def test_checkpoint_snapshot_roundtrip(spark, tmp_path):
     assert [(x["url"], x["depth"], x["parent_url"]) for x in got] == [
         (x["url"], x["depth"], x["parent_url"]) for x in expected_tail
     ]
+
+
+@pytest.mark.parametrize("strategy", ["best_first", "dfs", "dfs_batched"])
+def test_table_resume_matches_dict_resume_non_bfs(spark, tmp_path, strategy):
+    """export_state_tables -> resume_state_from_tables must reconstruct
+    the queue (incl. the neg_score heap key) / stack and produce the
+    same continuation as the reference-dict resume path."""
+    from crawl4ai_spark.functions.scorers import KeywordRelevanceScorer
+
+    scorer = (
+        KeywordRelevanceScorer(["docs", "2019"]) if strategy == "best_first"
+        else None
+    )
+    pages = corpus.build_pages(spark, N)
+    # stop via cancellation, not max_pages: the page cap's capacity
+    # trim (reference remaining-capacity guard) throttles pushes toward
+    # zero pending at the cap, while a cancel leaves the queue/stack
+    # mid-flight — the state a crash-recovery resume actually sees
+    batch = 2 if strategy == "dfs_batched" else 10
+    depth = 3 if strategy == "dfs_batched" else 2
+    checks = {"n": 0}
+
+    def cancel_after_a_few():
+        checks["n"] += 1
+        return checks["n"] > 1
+
+    eng = CrawlEngine(
+        spark, pages,
+        CrawlSpec(max_depth=depth, strategy=strategy, scorer=scorer,
+                  batch_size=batch, should_cancel=cancel_after_a_few),
+    )
+    first = eng.run(U(1)).collect()
+    assert len(first) > 0
+
+    out = str(tmp_path / f"state_{strategy}")
+    manifest = eng.export_state_tables(out)
+    assert manifest["pending_kind"] == (
+        "queue" if strategy == "best_first" else "stack"
+    )
+    dict_state = eng.export_state()
+    table_state = CrawlEngine.resume_state_from_tables(spark, out)
+    assert table_state["pending_df"].count() > 0  # something to resume
+
+    runs = []
+    for st in (dict_state, table_state):
+        eng2 = CrawlEngine(
+            spark, pages,
+            CrawlSpec(max_depth=depth, strategy=strategy, max_pages=9,
+                      scorer=scorer, batch_size=batch,
+                      resume_state=st),
+        )
+        rows = eng2.run(U(1)).collect()
+        runs.append(
+            [(r["emit_seq"], r["url"], r["depth"], r["score"]) for r in rows]
+        )
+    assert runs[0] == runs[1]
+    assert len(runs[0]) > 0
