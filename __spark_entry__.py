@@ -122,12 +122,18 @@ _SQL_KEYWORD = (
 _SQL_CTYPE = (
     "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1.0 WHEN 1 THEN 0.8 WHEN 2 THEN 0.6 ELSE 0.0 END"
 )
-# year = 2015 + doc_id%10 → diff = 9 - doc_id%10; table for diff<6, else max(0.1, 1-diff*0.1)
+# year = 2015 + doc_id%10 → diff = 9 - doc_id%10; table literals for
+# diff<6, else the SAME float arithmetic as the Column expression
+# (scorers.py FreshnessScorer fallback): 1.0 - 6*0.1 is 0.3999999999999999,
+# one ULP under a 0.4 literal — rounded literals here would diverge in
+# the last bit exactly as _bff_crawl_sql's docstring warns
 _SQL_FRESH = (
-    "CASE 9 - CAST(doc_id % 10 AS INT)"
+    "CASE WHEN 9 - CAST(doc_id % 10 AS INT) < 6 THEN"
+    " CASE 9 - CAST(doc_id % 10 AS INT)"
     " WHEN 0 THEN 1.0 WHEN 1 THEN 0.9 WHEN 2 THEN 0.8 WHEN 3 THEN 0.7"
-    " WHEN 4 THEN 0.6 WHEN 5 THEN 0.5"
-    " WHEN 6 THEN 0.4 WHEN 7 THEN 0.3 WHEN 8 THEN 0.2 ELSE 0.1 END"
+    " WHEN 4 THEN 0.6 ELSE 0.5 END"
+    " ELSE greatest(0.1, 1.0 - CAST(9 - CAST(doc_id % 10 AS INT) AS DOUBLE) * 0.1)"
+    " END"
 )
 _SQL_DOMAUTH = (
     "CASE CASE WHEN doc_id % 2 = 0 THEN 0 ELSE CAST(doc_id % 7 AS INT) END"
@@ -1476,7 +1482,7 @@ def q_domain_sources(spark, sf_dir):
     )
     probes = probe_urls(hosts.select("host"))
     fetchable = (
-        probe_urls(hosts.select("host"))
+        probes
         .join(hosts, "host")
         .filter((F.col("hidx") + F.length(F.col("url"))) % 3 != 0)
         .select("url")
@@ -2268,19 +2274,22 @@ def oracle_sql() -> dict[str, str]:
         # cosine_topk + ann_lsh_topk oracles, unioned under a method tag
         # (mirrors q_similarity_topk's union of the two operators)
         "similarity_topk": f"""
-            WITH brute AS (
-              SELECT 'brute' AS method, vec_id,
-                     round(list_cosine_similarity(
-                       CAST(embedding AS DOUBLE[]),
-                       (SELECT CAST(embedding AS DOUBLE[])
-                        FROM embeddings WHERE vec_id = 0)
-                     ), 6) AS cos_sim
-              FROM embeddings
-              ORDER BY cos_sim DESC, vec_id ASC
-              LIMIT 10
-            ),
-            v AS (
+            WITH v AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ),
+            bq AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+            braw AS (
+              -- rank on the RAW fold-order cosine like the Spark side
+              -- (and the lsh branch below); ranking on the rounded
+              -- value would break ties differently at the k boundary
+              SELECT v.vec_id, {_cos_sql('v.e', 'bq.qe')} AS raw_cos
+              FROM v CROSS JOIN bq
+            ),
+            brute AS (
+              SELECT 'brute' AS method, vec_id, round(raw_cos, 6) AS cos_sim
+              FROM braw
+              ORDER BY raw_cos DESC, vec_id ASC
+              LIMIT 10
             ),
             s AS (SELECT vec_id, e, {sig_sql} AS sig FROM v),
             q AS (SELECT e AS qe, sig AS qsig FROM s WHERE vec_id = 0),

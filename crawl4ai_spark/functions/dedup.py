@@ -59,10 +59,17 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of word n-gram shingle strings (space-joined, lowercased)."""
+    """Array of word n-gram shingle strings (space-joined, lowercased).
+
+    Documents with fewer than ``n`` tokens yield an EMPTY array — the
+    k < 1 branch matters: ``sequence(1, 0)`` is the DESCENDING array
+    [1, 0], whose element_at(toks, 0) / out-of-range reads abort the
+    job on any short document."""
     toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
     k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
     )
@@ -122,8 +129,28 @@ def minhash_signature(
 def _band_buckets(
     signatures: DataFrame, key_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """(key, band, bucket) rows: md5 over each band's signature slice."""
-    return signatures.select(
+    """(key, band, bucket) rows: md5 over each band's signature slice.
+
+    bands × rows_per_band must fit the signature: out-of-range slices
+    would either error (ANSI element_at) or — worse — hash the empty
+    string into one degenerate mega-bucket per overflowing band,
+    sending the self-join quadratic over the whole corpus.  A per-row
+    guard raises loudly instead."""
+    need = bands * rows_per_band
+    return signatures.withColumn(
+        "sig",
+        F.when(F.size("sig") >= F.lit(need), F.col("sig")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"LSH banding needs bands*rows_per_band={need} "
+                        "signature entries, got "
+                    ),
+                    F.size("sig").cast("string"),
+                )
+            )
+        ),
+    ).select(
         key_col,
         F.explode(
             F.array(

@@ -187,15 +187,28 @@ def validate_images(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                pix = png_decode(bytes(r.bytes))
-                ref_pix = reference_pixels(r.image_id, r.ref_w, r.ref_h, seed)
-                if r.fmt == "jpeg":
-                    ref_pix_cmp = ref_pix  # lossy row still compares to the original
-                    p = psnr(pix, ref_pix_cmp)
-                    ok = p >= min_psnr_db
-                else:
-                    p = psnr(pix, ref_pix)
-                    ok = np.array_equal(pix, ref_pix)
+                # a corrupt/truncated byte stream or a decode whose
+                # dimensions disagree with the reference is exactly what
+                # the validator exists to FLAG — per row, never by
+                # aborting the job
+                try:
+                    pix = png_decode(bytes(r.bytes))
+                    ref_pix = reference_pixels(
+                        r.image_id, r.ref_w, r.ref_h, seed
+                    )
+                    if pix.shape != ref_pix.shape:
+                        p, ok = 0.0, False
+                    else:
+                        p = psnr(pix, ref_pix)
+                        # lossy rows pass at PSNR ≥ threshold; lossless
+                        # must match exactly
+                        ok = (
+                            p >= min_psnr_db
+                            if r.fmt == "jpeg"
+                            else np.array_equal(pix, ref_pix)
+                        )
+                except Exception:
+                    p, ok = 0.0, False
                 rows.append(
                     {
                         "image_id": r.image_id,
@@ -279,9 +292,8 @@ def image_features(images: DataFrame, grid: int = 4) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                pix = png_decode(bytes(r.bytes)).astype(np.float64) / 255.0
                 blocks = resize_nearest(
-                    (pix * 255).astype(np.uint8), grid, grid
+                    png_decode(bytes(r.bytes)), grid, grid
                 ).astype(np.float64) / 255.0
                 rows.append(
                     {
@@ -471,6 +483,11 @@ def phash_near_dup(
 
     def block_val(b: int) -> Column:
         lo, w = ranges[b]
+        if w >= 64:
+            # all-64-bit block (max_hamming=0, key_blocks=1): the full
+            # mask 2^64-1 does not fit a LongType literal — and masking
+            # is a no-op anyway
+            return F.shiftrightunsigned(ph, lo)
         return F.shiftrightunsigned(ph, lo).bitwiseAND(F.lit((1 << w) - 1))
 
     tables = []

@@ -149,3 +149,33 @@ def test_universal_family_finds_same_near_dups(spark, degenerate_docs):
         }
         assert (100, 101) in ids, fam
         assert (0, 1) in ids, fam
+
+
+def test_short_docs_yield_empty_shingles_not_crash(spark):
+    # < n tokens => empty shingle array; sequence(1, 0) is the
+    # DESCENDING [1, 0] and used to abort the job via element_at(, 0)
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two words"), (3, "three word doc")],
+        "doc_id long, text string",
+    )
+    sh = docs.select(
+        "doc_id", F.size(D.word_shingles(F.col("text"), 3)).alias("n")
+    ).collect()
+    got = {r["doc_id"]: r["n"] for r in sh}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1}
+    # downstream minhash over short docs also survives; shingle-less
+    # docs simply have no signature row (min over an empty shingle set
+    # is undefined, and the explode drops them)
+    sig = D.minhash_signature(docs, num_hashes=8, shingle_n=3)
+    assert [r["doc_id"] for r in sig.collect()] == [3]
+
+
+def test_band_overflow_raises_loudly(spark):
+    # bands * rows_per_band > num_hashes must error, not silently hash
+    # empty-string mega-buckets (quadratic self-join at scale)
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    sig = D.minhash_signature(docs, num_hashes=8, shingle_n=3)
+    with pytest.raises(Exception, match="bands\\*rows_per_band"):
+        D.minhash_lsh_pairs(sig, bands=4, rows_per_band=4).collect()

@@ -256,3 +256,42 @@ def test_phash_near_dup_bucket_cap_drops_degenerate(spark):
     assert got == {("a", "b")}
     uncapped = phash_near_dup(df, max_hamming=2).count()
     assert uncapped == 12 * 11 // 2 + 1
+
+
+def test_validator_flags_corrupt_rows_without_aborting(spark):
+    # corrupt bytes / dimension mismatches are what the validator
+    # exists to flag — per row, never by killing the job
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.images import validate_images
+
+    rows = [make_image_row(i) for i in range(4)]
+    ref = reference_table(spark, 4)
+    df = spark.createDataFrame(rows)
+    bad_id = rows[1]["image_id"]
+    bad = df.withColumn(
+        "bytes",
+        F.when(F.col("image_id") == bad_id, F.lit(b"not a png"))
+        .otherwise(F.col("bytes")),
+    )
+    out = {r["image_id"]: r for r in validate_images(bad, ref).collect()}
+    assert out[bad_id]["pixels_ok"] is False and out[bad_id]["psnr_db"] == 0.0
+    ok_ids = [rows[i]["image_id"] for i in (0, 2, 3)]
+    assert all(out[i]["pixels_ok"] for i in ok_ids)
+
+
+def test_phash_near_dup_exact_mode(spark):
+    # max_hamming=0 => one 64-bit block; the full mask must not be
+    # built as an unrepresentable long literal
+    from crawl4ai_spark.functions.images import phash_near_dup
+
+    imgs = spark.createDataFrame(
+        [("a", 7), ("b", 7), ("c", 9)], "image_id string, phash long"
+    )
+    pairs = phash_near_dup(
+        imgs, id_col="image_id", phash_col="phash",
+        max_hamming=0, key_blocks=1,
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [
+        ("a", "b", 0)
+    ]
