@@ -415,8 +415,19 @@ class UrlSeeder:
 
         cfg = config or SeedingConfig()
         domains = [domain] if isinstance(domain, str) else list(domain)
+        # validate the '+'-joined source tokens against the known set,
+        # like DomainMapper.scan — a typo ("sitemp+cc") must raise, not
+        # silently run a subset of the requested sources
+        tokens = [t for t in cfg.source.split("+") if t]
+        unknown = sorted(set(tokens) - {"sitemap", "cc"})
+        if unknown or not tokens:
+            raise ValueError(
+                f"unknown seeding source tokens {unknown!r} in "
+                f"{cfg.source!r}: expected '+'-joined subset of "
+                "{'sitemap', 'cc'}"
+            )
         srcs: list[DataFrame] = []
-        if "sitemap" in cfg.source:
+        if "sitemap" in tokens:
             if self.sitemap_docs is None:
                 raise ValueError("source includes 'sitemap' but no sitemap_docs")
             ddf = self.spark.createDataFrame(
@@ -425,13 +436,11 @@ class UrlSeeder:
             srcs.append(
                 seed_from_sitemaps(ddf, self.sitemap_docs).select("url")
             )
-        if "cc" in cfg.source:
+        if "cc" in tokens:
             if self.cc_index is None:
                 raise ValueError("source includes 'cc' but no cc_index")
             for d in domains:
                 srcs.append(cc_index_seeds(self.cc_index, d).select("url"))
-        if not srcs:
-            raise ValueError(f"unknown seeding source: {cfg.source!r}")
 
         relevance = None
         threshold = None
@@ -478,6 +487,14 @@ class WebCrawler:
                     [], "url string, success boolean, status_code int"
                 )
                 t = VersionedTable.create(spark, cache_dir, empty, key=["url"])
+            else:
+                # open-time janitor: a crawl that crashed mid-commit left
+                # a claimed-but-manifestless head+1 dir; clear it (once
+                # stale) so this crawler's first cache write isn't doomed
+                t.remove_stale_claim(
+                    t.current_version() + 1,
+                    stale_after_sec=self._STALE_CLAIM_SEC,
+                )
             self._cache_table = t
         else:
             self._cache: DataFrame = spark.createDataFrame(
@@ -494,17 +511,49 @@ class WebCrawler:
 
     def _cache_write(self, rows: DataFrame) -> None:
         """acache_url analog (async_database.py:478): upsert fetched
-        rows by url PK.  Durable path = MERGE INTO commit."""
+        rows by url PK.  Durable path = MERGE INTO commit, retried on
+        ``CommitConflict`` as table.py prescribes: another crawler
+        sharing this cache_dir may have published first (re-merge on the
+        new head), or a crashed writer may have left a claimed-but-
+        unpublished version (janitored via ``remove_stale_claim``)."""
         rows = rows.select("url", "success", "status_code")
         if self._cache_table is not None:
             if not rows.isEmpty():  # don't commit empty MERGE versions
-                self._cache_table.merge(rows)
+                self._merge_with_retry(rows)
         else:
             self._cache = (
                 self._cache.join(rows, "url", "left_anti")
                 .unionByName(rows)
                 .localCheckpoint(eager=True)
             )
+
+    _MERGE_RETRIES = 5
+    _STALE_CLAIM_SEC = 60.0
+
+    def _merge_with_retry(self, rows: DataFrame) -> None:
+        import time as _time
+
+        from crawl4ai_spark.plans.table import CommitConflict
+
+        last: CommitConflict | None = None
+        for attempt in range(self._MERGE_RETRIES):
+            try:
+                self._cache_table.merge(rows)
+                return
+            except CommitConflict as exc:
+                last = exc
+                # merge() re-reads the head on retry, which absorbs a
+                # competing *published* commit by itself; the case that
+                # needs help is a claimed-but-manifestless version from
+                # a crashed writer blocking head+1 forever.
+                head = self._cache_table.current_version()
+                blocking = 0 if head is None else head + 1
+                if not self._cache_table.remove_stale_claim(
+                    blocking, stale_after_sec=self._STALE_CLAIM_SEC
+                ):
+                    # fresh claim — a live writer is staging; back off
+                    _time.sleep(0.1 * (attempt + 1))
+        raise last
 
     # -- entry points --------------------------------------------------------
 
@@ -517,6 +566,17 @@ class WebCrawler:
     def arun_many(
         self, urls: list[str], config: CrawlerRunConfig | None = None
     ) -> DataFrame:
+        """Batch entry (async_webcrawler.py:arun_many).
+
+        Contract divergence from the reference: the result has ONE ROW
+        PER UNIQUE URL (the batch is ``dropDuplicates``-ed before the
+        fetch join), not one CrawlResult per input list element — join
+        your own table against the result on ``url`` instead of zipping
+        it positionally against the input list.  A set-semantics batch
+        is the natural DataFrame shape; preserving input multiplicity
+        would force an input-index column through every downstream
+        join for no information gain (duplicate inputs fetch once
+        either way, per the cache)."""
         if not urls:
             raise ValueError("arun_many needs at least one url")
         config = config or CrawlerRunConfig()

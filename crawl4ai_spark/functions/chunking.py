@@ -53,12 +53,16 @@ def words_of(text: Column) -> Column:
     """Python ``str.split()`` as a Column: whitespace runs, no empties.
 
     ``(?U)`` switches Java's ``\\s`` from ASCII-only to the Unicode
-    whitespace class, matching ``str.split()`` on real web text
-    (NBSP, line/paragraph separators, NEL).  The DuckDB oracle's RE2
-    ``\\s`` stays ASCII — fine for the pure-ASCII test corpus, noted
-    here because a Unicode corpus would need the oracle widened too."""
+    White_Space property, matching ``str.split()`` on real web text
+    (NBSP, line/paragraph separators, NEL).  White_Space excludes the
+    four C0 separators U+001C–U+001F (FS/GS/RS/US) that Python's
+    ``str.isspace()`` DOES treat as whitespace, so they are added
+    explicitly — without them such text would chunk differently than
+    the reference.  The DuckDB oracle's RE2 ``\\s`` stays ASCII — fine
+    for the pure-ASCII test corpus, noted here because a Unicode
+    corpus would need the oracle widened too."""
     return F.filter(
-        F.split(text, r"(?U)\s+"), lambda w: w != F.lit("")
+        F.split(text, "(?U)[\\s\\x1c-\\x1f]+"), lambda w: w != F.lit("")
     )
 
 

@@ -53,6 +53,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -192,11 +194,24 @@ class VersionedTable:
         the domain_state / seen shape).
         ``when_matched="delete"``: matched target rows are removed and
         no inserts happen (the TTL-expiry shape).
+
+        A source with duplicate key values is rejected (``ValueError``)
+        before anything is staged — Iceberg MERGE likewise errors when a
+        target row matches multiple source rows; silently inserting both
+        would break the PK invariant every reader of this table assumes.
         """
         head = self.current_version()
         key = self.key
         target = self.read(head)
         if when_matched == "update":
+            dup = (
+                source.groupBy(*key).count().filter("count > 1").limit(1).count()
+            )
+            if dup:
+                raise ValueError(
+                    "merge source has duplicate key rows on "
+                    f"{key} — MERGE requires at most one source row per key"
+                )
             merged = target.join(source, key, "left_anti").unionByName(source)
         elif when_matched == "delete":
             merged = target.join(source.select(*key), key, "left_anti")
@@ -204,6 +219,28 @@ class VersionedTable:
             raise ValueError(f"unknown when_matched: {when_matched}")
         return self._commit(merged, parent=head, operation=f"merge_{when_matched}",
                             key=key)
+
+    def remove_stale_claim(
+        self, version: int, stale_after_sec: float = 60.0
+    ) -> bool:
+        """Janitor for a crashed writer: delete a claimed-but-unpublished
+        ``v=N`` directory (claim exists, manifest never landed) once the
+        claim is older than ``stale_after_sec`` — the recovery step the
+        module docstring prescribes, equivalent to expiring a stale
+        Iceberg metadata lock.  A *fresh* claim is left alone (its owner
+        may still be staging); returns whether anything was removed."""
+        base = self.path / f"v={version}"
+        claim = base / "claim"
+        if (base / "manifest.json").exists() or not claim.exists():
+            return False
+        try:
+            age = time.time() - claim.stat().st_mtime
+        except FileNotFoundError:  # published or cleaned concurrently
+            return False
+        if age < stale_after_sec:
+            return False
+        shutil.rmtree(base, ignore_errors=True)
+        return True
 
     def rollback(self, version: int) -> int:
         """Restore the table to ``version`` as a NEW commit that

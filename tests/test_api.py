@@ -269,6 +269,12 @@ def test_url_seeder_pipeline(spark):
         UrlSeeder(spark, sitemap_docs).urls(
             "a.com", SeedingConfig(source="cc")
         )
+    # ADVICE r4: a typo'd token must raise, not silently run a subset
+    # ("sitemp+cc" previously ran cc-only because of substring matching)
+    with pytest.raises(ValueError, match="sitemp"):
+        seeder.urls("a.com", SeedingConfig(source="sitemp+cc"))
+    with pytest.raises(ValueError):
+        seeder.urls("a.com", SeedingConfig(source=""))
 
 
 def test_domain_mapper_facade(spark):
@@ -331,6 +337,36 @@ def test_deep_crawl_cache_write_gate(spark, pages):
     res = crawler.arun(_url(1), deep_en).collect()
     n_success = sum(1 for r in res if r["success"])
     assert crawler.cache.count() == n_success > 0
+
+
+def test_cache_write_retries_through_stale_claim(spark, pages, tmp_path):
+    """ADVICE r4 (medium): a crashed crawler's claimed-but-unpublished
+    version used to make every later cache write raise CommitConflict;
+    _cache_write now janitors the stale claim and retries."""
+    import os
+    import time
+
+    cache_dir = str(tmp_path / "fetched")
+    crawler = WebCrawler(spark, pages, cache_dir=cache_dir)
+    crawler.arun(_url(1), CrawlerRunConfig(cache_mode=CacheMode.ENABLED))
+    t = crawler._cache_table
+    # simulate a crash: claim v2, never publish, and make it look old
+    base = t.path / "v=2"
+    base.mkdir()
+    (base / "claim").touch()
+    old = time.time() - 3600
+    os.utime(base / "claim", (old, old))
+    crawler.arun(_url(2), CrawlerRunConfig(cache_mode=CacheMode.ENABLED))
+    assert t.current_version() == 2 and t.read().count() == 2
+    # a NEW crawler opening the dir behind another stale claim also
+    # recovers (open-time janitor)
+    base3 = t.path / "v=3"
+    base3.mkdir()
+    (base3 / "claim").touch()
+    os.utime(base3 / "claim", (old, old))
+    crawler2 = WebCrawler(spark, pages, cache_dir=cache_dir)
+    crawler2.arun(_url(3), CrawlerRunConfig(cache_mode=CacheMode.ENABLED))
+    assert crawler2._cache_table.read().count() == 3
 
 
 def test_durable_cache_is_versioned(spark, pages, tmp_path):

@@ -84,6 +84,10 @@ TEXTS = [
     # unicode whitespace: NBSP, EN QUAD, LINE SEPARATOR, NEL — Python
     # str.split() splits all of these; (?U) makes Java \s match them
     "foo bar baz qux\x85quux one two three four five",
+    # C0 separators FS/GS/RS/US: Python str.split() treats them as
+    # whitespace but Unicode White_Space does NOT -- words_of adds them
+    # to the class explicitly (ADVICE r4)
+    "alpha\x1cbeta\x1dgamma\x1edelta\x1fepsilon zeta",
 ]
 
 

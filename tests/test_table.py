@@ -192,3 +192,45 @@ def test_seen_merge_union_shape(spark, tmp_path):
         acc |= {u for (u,) in b}
         assert {r["url"] for r in table.read(i).collect()} == acc
     assert table.read().count() == 4
+
+
+def test_merge_rejects_duplicate_source_keys(spark, target):
+    """ADVICE r4: a source with two rows for one key would silently
+    produce duplicate PK rows after the anti-join ∪ union — MERGE must
+    reject it up front, as Iceberg errors on multiple matches."""
+    dup = spark.createDataFrame(
+        [("d1.com", 1.0, 1), ("d1.com", 2.0, 2), ("dY.com", 3.0, 3)],
+        "domain string, current_delay double, fail_count int",
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        target.merge(dup)
+    # nothing was committed
+    assert target.current_version() == 0
+
+
+def test_remove_stale_claim_janitor(spark, target):
+    """A crashed writer's claimed-but-manifestless v=N dir blocks every
+    later claimant; the janitor clears it once stale, leaves fresh
+    claims and published versions alone."""
+    import os
+    import time
+
+    base = target.path / "v=1"
+    base.mkdir()
+    (base / "claim").touch()
+    src = spark.createDataFrame(
+        [("dZ.com", 1.0, 0)],
+        "domain string, current_delay double, fail_count int",
+    )
+    with pytest.raises(CommitConflict):
+        target.merge(src)
+    # fresh claim: a live writer may be staging — kept
+    assert not target.remove_stale_claim(1, stale_after_sec=60.0)
+    # age the claim past the threshold, then the janitor removes it
+    old = time.time() - 120
+    os.utime(base / "claim", (old, old))
+    assert target.remove_stale_claim(1, stale_after_sec=60.0)
+    assert target.merge(src) == 1
+    # published version: never janitored
+    assert not target.remove_stale_claim(1, stale_after_sec=0.0)
+    assert target.read(1).count() == 6
