@@ -505,6 +505,88 @@ def q_cc_seeds(spark, sf_dir):
     return cc_index_seeds(cc, "d0.example.com", url_pattern="*/docs/*")
 
 
+def q_seeds_suite(spark, sf_dir):
+    """S3+S4 as one suite (r5 rotation; RETIRED_INTO): sitemap rows =
+    the full nested-index expand pipeline, cc rows = the CC columnar
+    index read with domain pushdown + glob — each tagged by source."""
+    sm = q_sitemap_seeds(spark, sf_dir).select(
+        F.lit("sitemap").alias("source"), "domain", "url"
+    )
+    cc = q_cc_seeds(spark, sf_dir).select(
+        F.lit("cc").alias("source"), "domain", "url"
+    )
+    return sm.unionByName(cc)
+
+
+def q_scrape_suite(spark, sf_dir):
+    """HTML-tier scrape contract (VERDICT-r4 #1): raw html pages →
+    links (full _process_element parity: entity decode, <base href>
+    override, first-occurrence dedupe, per-link base_domain,
+    special-scheme externals) + media (image scoring/variant
+    expansion, video/audio + <source> rows) + head metadata — one
+    long-format row per recovered fact.  The Spark side PARSES the
+    html (sources/html_corpus serializes the corpus graph into real
+    HTML); the oracle re-derives every row from the construction
+    arithmetic without parsing (derived-oracle pattern, as
+    image_validation).  One scrape UDF pass, persisted, five explode
+    views over it."""
+    from crawl4ai_spark.functions.scrape import with_scraped_page
+    from crawl4ai_spark.sources.html_corpus import build_html_pages
+
+    n = _docs(spark, sf_dir).count()
+    sc = (
+        with_scraped_page(build_html_pages(spark, n))
+        .select("doc_id", "scraped")
+        .persist()
+    )
+    nil = F.lit(None).cast("int")
+
+    links = sc.select("doc_id", F.explode("scraped.links").alias("l")).select(
+        "doc_id", F.lit("link").alias("kind"),
+        F.col("l.href").alias("k1"), F.col("l.text").alias("k2"),
+        F.col("l.title").alias("k3"), F.col("l.base_domain").alias("k4"),
+        nil.alias("n1"), nil.alias("n2"), nil.alias("n3"),
+        F.col("l.is_external").alias("flag"),
+    )
+    imgs = sc.select(
+        "doc_id", F.explode("scraped.media.images").alias("m")
+    ).select(
+        "doc_id", F.lit("image").alias("kind"),
+        F.col("m.src").alias("k1"), F.col("m.alt").alias("k2"),
+        F.col("m.desc").alias("k3"), F.col("m.format").alias("k4"),
+        F.col("m.score").alias("n1"), F.col("m.width").alias("n2"),
+        F.col("m.group_id").alias("n3"), F.lit(False).alias("flag"),
+    )
+
+    def _av(field, kind):
+        return sc.select(
+            "doc_id", F.explode(f"scraped.media.{field}").alias("m")
+        ).select(
+            "doc_id", F.lit(kind).alias("kind"),
+            F.col("m.src").alias("k1"), F.col("m.alt").alias("k2"),
+            F.col("m.desc").alias("k3"),
+            F.lit(None).cast("string").alias("k4"),
+            nil.alias("n1"), nil.alias("n2"), nil.alias("n3"),
+            F.lit(False).alias("flag"),
+        )
+
+    meta = sc.select(
+        "doc_id", F.explode("scraped.metadata").alias("k1", "k2")
+    ).select(
+        "doc_id", F.lit("meta").alias("kind"), "k1", "k2",
+        F.lit(None).cast("string").alias("k3"),
+        F.lit(None).cast("string").alias("k4"),
+        nil.alias("n1"), nil.alias("n2"), nil.alias("n3"),
+        F.lit(False).alias("flag"),
+    )
+    return (
+        links.unionByName(imgs)
+        .unionByName(_av("videos", "video"))
+        .unionByName(_av("audios", "audio"))
+        .unionByName(meta)
+    )
+
+
 def q_robots_allow(spark, sf_dir):
     """S8 full parity: Allow+Disallow via the stdlib parser the
     reference calls (first-match-in-file-order), fresh-TTL table."""
@@ -1647,6 +1729,9 @@ RETIRED_INTO = {
     "normalize_urls_full": ("normalize_suite", "column norm_url"),
     "wayback_urls": ("domain_sources", "source='wayback' rows, same input"),
     "crt_hosts": ("domain_sources", "source='crt' rows, same input"),
+    # r5 consolidations
+    "sitemap_seeds": ("seeds_suite", "source='sitemap' rows, same pipeline"),
+    "cc_seeds": ("seeds_suite", "source='cc' rows, same pipeline"),
 }
 
 
@@ -1690,9 +1775,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cosine_topk + ann_lsh_topk merged into similarity_topk (one row,
         # same oracles unioned) to stay at 50 with phash_near_dup added
         "total_score": q_total_score,
+        # --- new in r5 (rotation ledger in RETIRED_INTO) ---
+        "scrape_suite": q_scrape_suite,
+        "seeds_suite": q_seeds_suite,
         # --- stable, driver-green in r2 ---
-        "sitemap_seeds": q_sitemap_seeds,
-        "cc_seeds": q_cc_seeds,
         "robots_allow": q_robots_allow,
         "seen_anti_join": q_seen_anti_join,
         "bff_priority_topk": q_bff_priority_topk,
@@ -1725,6 +1811,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB; views: region nation customer supplier part orders
 # lineitem events documents embeddings)
 # ---------------------------------------------------------------------------
+
+def _scrape_suite_sql() -> str:
+    """q_scrape_suite's oracle: the arithmetic re-derivation of every
+    scraped link/image/video/audio/meta row, sized from the documents
+    view exactly as the Spark side sizes the html corpus."""
+    from crawl4ai_spark.sources.html_corpus import scrape_expected_sql
+
+    return scrape_expected_sql(None)
+
 
 def oracle_sql() -> dict[str, str]:
     url = _sql_url("doc_id")
@@ -1779,18 +1874,19 @@ def oracle_sql() -> dict[str, str]:
                          || '&a=1' AS norm_eff
             FROM documents
         """,
-        "sitemap_seeds": f"""
-            SELECT 'd' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+        "seeds_suite": f"""
+            SELECT 'sitemap' AS source,
+                   'd' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0
                                     ELSE doc_id % 7 END AS VARCHAR)
                        || '.example.com' AS domain,
                    {url} AS url
             FROM documents
-        """,
-        "cc_seeds": f"""
-            SELECT 'd0.example.com' AS domain, {url} AS url
+            UNION ALL
+            SELECT 'cc' AS source, 'd0.example.com' AS domain, {url} AS url
             FROM documents
             WHERE (doc_id % 2 = 0 OR doc_id % 7 = 0) AND doc_id % 5 = 1
         """,
+        "scrape_suite": _scrape_suite_sql(),
         "robots_allow": """
             SELECT doc_id,
               CASE

@@ -29,6 +29,10 @@ def test_suites_carry_retired_coverage(spark):
     ds = q["domain_sources"](spark, sf)
     srcs = {r["source"] for r in ds.select("source").distinct().collect()}
     assert srcs == {"wayback", "crt", "probe", "feed"}
+    # r5: sitemap_seeds + cc_seeds → seeds_suite, one tagged row group each
+    ss = q["seeds_suite"](spark, sf)
+    s_srcs = {r["source"] for r in ss.select("source").distinct().collect()}
+    assert s_srcs == {"sitemap", "cc"}
     suite_cols = {
         "scorer_suite": {"kw_score", "ctype_score", "fresh_score",
                          "domauth_score", "depth_score", "comp_score"},
