@@ -34,6 +34,7 @@ if _ROOT not in _pp.split(os.pathsep):
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from crawl4ai_spark.functions import chunking as CH
 from crawl4ai_spark.functions import dedup as D
@@ -587,6 +588,31 @@ def q_scrape_suite(spark, sf_dir):
     )
 
 
+def q_markdown_gen(spark, sf_dir):
+    """Markdown generation contract (VERDICT-r4 #6): html corpus →
+    DefaultMarkdownGenerator (functions/markdown.py) — raw markdown
+    under the documented converter rules, reference-exact ⟨n⟩
+    citations + References block (fast_urljoin quirk included) —
+    verified as FULL-STRING fingerprints against the arithmetic
+    oracle, plus the reference count."""
+    from crawl4ai_spark.functions.markdown import with_markdown
+    from crawl4ai_spark.sources.html_corpus import build_html_pages
+
+    n = _docs(spark, sf_dir).count()
+    pages = build_html_pages(spark, n).select("doc_id", "url", "html")
+    md = with_markdown(pages)
+    fp = TX.fingerprint
+    return md.select(
+        "doc_id",
+        fp(F.col("markdown.raw_markdown")).alias("raw_fp"),
+        fp(F.col("markdown.markdown_with_citations")).alias("cit_fp"),
+        fp(F.col("markdown.references_markdown")).alias("ref_fp"),
+        F.regexp_count(
+            F.col("markdown.references_markdown"), F.lit("⟨")
+        ).cast("int").alias("n_refs"),
+    )
+
+
 def q_robots_allow(spark, sf_dir):
     """S8 full parity: Allow+Disallow via the stdlib parser the
     reference calls (first-match-in-file-order), fresh-TTL table."""
@@ -823,6 +849,113 @@ def q_text_stats_suite(spark, sf_dir):
         F.size(sliding).alias("n_chunks_sliding"),
         F.size(overlap).alias("n_chunks_overlap"),
     )
+
+
+def q_chunk_suite(spark, sf_dir):
+    """Chunking family across parameterizations (VERDICT-r4 #7): three
+    strategies × two parameter settings each, binding the
+    sequence/slice window arithmetic (functions/chunking.py; reference
+    chunking_strategy.py:146-255) through count + FIRST and LAST chunk
+    fingerprints — the tails are where the leaked-loop-index rule
+    (sliding) and the short-final-chunk rule (overlapping) live."""
+    text = F.col("text")
+
+    def row(strat: str, arr):
+        return F.struct(
+            F.lit(strat).alias("strat"),
+            F.size(arr).cast("int").alias("n"),
+            TX.fingerprint(F.element_at(arr, 1)).alias("first_fp"),
+            TX.fingerprint(F.element_at(arr, -1)).alias("last_fp"),
+        )
+
+    rows = F.array(
+        row("fixed_50", CH.FixedLengthWordChunking(50).column(text)),
+        row("fixed_120", CH.FixedLengthWordChunking(120).column(text)),
+        row("sliding_30_10", CH.SlidingWindowChunking(30, 10).column(text)),
+        row("sliding_45_15", CH.SlidingWindowChunking(45, 15).column(text)),
+        row("overlap_60_20", CH.OverlappingWindowChunking(60, 20).column(text)),
+        row("overlap_40_10", CH.OverlappingWindowChunking(40, 10).column(text)),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(rows).alias("r"))
+        .select("doc_id", "r.*")
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """JsonCssExtractionStrategy contract (VERDICT-r4 #2): schema-driven
+    field extraction over the raw-html corpus — CSS base/child
+    selection, RAW attribute values (entity-decoded hrefs: the v2
+    variant's &amp;fbclid survives as a real query param here, unlike
+    the normalized scrape_suite hrefs), text, transform, a
+    ["attribute","regex"] pipeline, and default fallback on the
+    title-less dup anchor.  Oracle re-derives every record from the
+    corpus construction arithmetic."""
+    from crawl4ai_spark.functions.extract import with_extracted
+    from crawl4ai_spark.sources.html_corpus import build_html_pages
+
+    n = _docs(spark, sf_dir).count()
+    schema = {
+        "name": "anchors",
+        "baseSelector": "li",
+        "fields": [
+            {"name": "href", "selector": "a", "type": "attribute",
+             "attribute": "href"},
+            {"name": "label", "selector": "a", "type": "text"},
+            {"name": "label_up", "selector": "a", "type": "text",
+             "transform": "uppercase"},
+            {"name": "title", "selector": "a", "type": "attribute",
+             "attribute": "title", "default": ""},
+            {"name": "child_id", "selector": "a",
+             "type": ["attribute", "regex"], "attribute": "title",
+             "pattern": r"t-(\d+)", "group": 1},
+        ],
+    }
+    stype = T.ArrayType(T.StructType([
+        T.StructField("href", T.StringType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("label_up", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("child_id", T.StringType()),
+    ]))
+    pages = build_html_pages(spark, n).select("doc_id", "url", "html")
+    return (
+        with_extracted(pages, schema, stype)
+        .select("doc_id", F.explode("extracted").alias("e"))
+        .select("doc_id", "e.*")
+    )
+
+
+def q_dedup_suite(spark, sf_dir):
+    """exact_dedup + minhash_signature + simhash as one long-format
+    suite (r5 rotation; RETIRED_INTO) — each retired row becomes a
+    tagged (kind, id_s, k, v) row group with the identical values the
+    singletons verified."""
+    e = q_exact_dedup(spark, sf_dir).select(
+        F.lit("exact").alias("kind"),
+        F.col("text_md5").alias("id_s"),
+        F.explode(F.create_map(
+            F.lit("keep_id"), F.col("keep_id").cast("long"),
+            F.lit("n_copies"), F.col("n_copies").cast("long"),
+        )).alias("k", "v"),
+    )
+    m = q_minhash_signature(spark, sf_dir)
+    m_long = m.select(
+        F.lit("minhash").alias("kind"),
+        F.col("doc_id").cast("string").alias("id_s"),
+        F.explode(F.create_map(*[
+            x for h in range(8)
+            for x in (F.lit(f"m{h}"), F.col(f"m{h}").cast("long"))
+        ])).alias("k", "v"),
+    )
+    s = q_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("kind"),
+        F.col("doc_id").cast("string").alias("id_s"),
+        F.lit("sh").alias("k"),
+        F.col("sh").cast("long").alias("v"),
+    )
+    return e.unionByName(m_long).unionByName(s)
 
 
 def q_minhash_signature(spark, sf_dir):
@@ -1243,10 +1376,17 @@ def q_content_relevance_filter(spark, sf_dir):
     kw = F.lit("data tools")
     doc = build_head_document(title, desc, kw, [desc])
     f = ContentRelevanceFilter(query="spark data", threshold=0.4)
+    # r5: head_bm25 retired into this row — the seeder's simplified-IDF
+    # BM25 over the document text rides along as its own column
+    from crawl4ai_spark.sources.seeder import head_bm25
+
     return du.select(
         "doc_id",
         F.floor(f.score_column(doc) * 1e6).cast("long").alias("bm25_fp"),
         f.column(doc).alias("passed"),
+        F.floor(head_bm25(F.col("text"), "data spark table") * 1e6)
+        .cast("long")
+        .alias("text_bm25_fp"),
     )
 
 
@@ -1732,6 +1872,10 @@ RETIRED_INTO = {
     # r5 consolidations
     "sitemap_seeds": ("seeds_suite", "source='sitemap' rows, same pipeline"),
     "cc_seeds": ("seeds_suite", "source='cc' rows, same pipeline"),
+    "exact_dedup|minhash_signature|simhash":
+        ("dedup_suite", "one tagged (kind,id_s,k,v) row group per op"),
+    "head_bm25": ("content_relevance_filter",
+                  "column text_bm25_fp, same query/terms over doc text"),
 }
 
 
@@ -1777,6 +1921,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_score": q_total_score,
         # --- new in r5 (rotation ledger in RETIRED_INTO) ---
         "scrape_suite": q_scrape_suite,
+        "json_extract": q_json_extract,
+        "markdown_gen": q_markdown_gen,
+        "chunk_suite": q_chunk_suite,
+        "dedup_suite": q_dedup_suite,
         "seeds_suite": q_seeds_suite,
         # --- stable, driver-green in r2 ---
         "robots_allow": q_robots_allow,
@@ -1790,15 +1938,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bff_crawl": q_bff_crawl,
         "dfs_crawl": q_dfs_crawl,
         "politeness_backoff": q_politeness_backoff,
-        "exact_dedup": q_exact_dedup,
-        "minhash_signature": q_minhash_signature,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "simhash": q_simhash,
         "knn_join": q_knn_join,
         "embedding_coverage": q_embedding_coverage,
         "image_validation": q_image_validation,
         "image_score": q_image_score,
-        "head_bm25": q_head_bm25,
         "seeder_bm25": q_seeder_bm25,
         "nonsense_url_filter": q_nonsense_url_filter,
         "seo_filter": q_seo_filter,
@@ -1811,6 +1955,180 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB; views: region nation customer supplier part orders
 # lineitem events documents embeddings)
 # ---------------------------------------------------------------------------
+
+def _markdown_gen_sql() -> str:
+    from crawl4ai_spark.sources.html_corpus import markdown_expected_sql
+
+    return markdown_expected_sql()
+
+
+def _json_extract_sql() -> str:
+    """json_extract oracle: per-<li> records re-derived from the
+    html_corpus anchor arithmetic — RAW (entity-decoded) hrefs, labels,
+    titles, uppercase transform, regex-extracted child ids, and the
+    title-less dup row falling back to default/NULL."""
+    n_expr = "(SELECT COUNT(*) FROM documents)"
+    canon_c = _sql_url("child")
+    secs = "(['blog','docs','api','news','shop'])"
+    exts = "(['.html','.pdf','.jpg',''])"
+    return f"""
+        WITH pages AS (
+          SELECT row_number() OVER () - 1 AS i FROM documents
+        ),
+        kids AS (
+          SELECT i, j, (i * 3 + j) % {n_expr} AS child
+          FROM pages, range(1, 4) r(j)
+        ),
+        hrefs AS (
+          SELECT i, j, child,
+            CASE
+              WHEN (i + j) % 4 = 1
+                   AND (CASE WHEN i % 2 = 0 THEN 0 ELSE i % 7 END)
+                     = (CASE WHEN child % 2 = 0 THEN 0 ELSE child % 7 END)
+                THEN '/' || {secs}[CAST(child % 5 AS INT) + 1]
+                     || '/' || CAST(2015 + child % 10 AS VARCHAR)
+                     || '/doc-' || child
+                     || {exts}[CAST(child % 4 AS INT) + 1]
+              WHEN (i + j) % 4 = 2
+                THEN {canon_c} || '?utm_source=feed&fbclid=f' || i
+              WHEN (i + j) % 4 = 3 THEN {canon_c} || '#frag'
+              ELSE {canon_c}
+            END AS href
+          FROM kids
+        )
+        SELECT i AS doc_id, href,
+               'anchor ' || i || ' ' || j AS label,
+               'ANCHOR ' || i || ' ' || j AS label_up,
+               't-' || child AS title,
+               CAST(child AS VARCHAR) AS child_id
+        FROM hrefs
+        UNION ALL
+        SELECT i, href, 'dup ' || i, 'DUP ' || i, '',
+               CAST(NULL AS VARCHAR)
+        FROM hrefs WHERE j = 1
+    """
+
+
+def _chunk_suite_sql() -> str:
+    """chunk_suite oracle: the window arithmetic of chunking.py
+    re-derived as list slicing — count + first/last chunk fingerprints
+    per (strategy, parameters)."""
+    md5 = _md5long_sql
+
+    def join_words(a: str, b: str) -> str:
+        return f"array_to_string(wlist[{a}:{b}], ' ')"
+
+    parts = []
+    for sz in (50, 120):
+        last_start = f"(CAST(ceil(nw / {sz}.0) AS INT) - 1) * {sz} + 1"
+        parts.append(f"""
+        SELECT doc_id, 'fixed_{sz}' AS strat,
+          CAST(ceil(nw / {sz}.0) AS INT) AS n,
+          CASE WHEN nw = 0 THEN NULL
+               ELSE {md5(join_words('1', str(sz)))} END AS first_fp,
+          CASE WHEN nw = 0 THEN NULL
+               ELSE {md5(join_words(last_start, 'nw'))} END AS last_fp
+        FROM base""")
+    for w, st in ((30, 10), (45, 15)):
+        i_last = f"((nw - {w}) - ((nw - {w}) % {st}))"
+        has_tail = f"({i_last} + {w} < nw)"
+        parts.append(f"""
+        SELECT doc_id, 'sliding_{w}_{st}' AS strat,
+          CASE WHEN nw <= {w} THEN 1
+               ELSE CAST(floor((nw - {w}) / {st}.0) AS INT) + 1
+                    + (CASE WHEN {has_tail} THEN 1 ELSE 0 END) END AS n,
+          CASE WHEN nw <= {w} THEN {md5('text')}
+               ELSE {md5(join_words('1', str(w)))} END AS first_fp,
+          CASE WHEN nw <= {w} THEN {md5('text')}
+               WHEN {has_tail}
+                 THEN {md5(join_words(f'nw - {w} + 1', 'nw'))}
+               ELSE {md5(join_words(f'{i_last} + 1', f'{i_last} + {w}'))}
+          END AS last_fp
+        FROM base""")
+    for w, ov in ((60, 20), (40, 10)):
+        stride = w - ov
+        kmax = f"CAST(ceil((nw - {w}) / {stride}.0) AS INT)"
+        parts.append(f"""
+        SELECT doc_id, 'overlap_{w}_{ov}' AS strat,
+          CASE WHEN nw <= {w} THEN 1 ELSE {kmax} + 1 END AS n,
+          CASE WHEN nw <= {w} THEN {md5('text')}
+               ELSE {md5(join_words('1', str(w)))} END AS first_fp,
+          CASE WHEN nw <= {w} THEN {md5('text')}
+               ELSE {md5(join_words(f'{kmax} * {stride} + 1',
+                                    f'{kmax} * {stride} + {w}'))}
+          END AS last_fp
+        FROM base""")
+    unions = "\n        UNION ALL".join(parts)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                   AS wlist,
+                 len(list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '')) AS nw
+          FROM documents
+        )
+        {unions}
+    """
+
+
+def _dedup_suite_sql(minhash_mins: str) -> str:
+    """dedup_suite oracle: the three retired singleton oracles (exact
+    md5 groups, universal-family minhash mins, 16-bit simhash) wrapped
+    into the suite's long (kind, id_s, k, v) format — identical value
+    arithmetic, only reshaped."""
+    simhash_bits = []
+    for i in range(16):
+        vote = f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)"
+        simhash_bits.append(f"CASE WHEN {vote} > 0 THEN {2**i} ELSE 0 END")
+    simhash_expr = " + ".join(simhash_bits)
+    m_unions = "\n            UNION ALL ".join(
+        f"SELECT 'minhash' AS kind, CAST(doc_id AS VARCHAR) AS id_s, "
+        f"'m{h}' AS k, CAST(m{h} AS BIGINT) AS v FROM msig"
+        for h in range(8)
+    )
+    return f"""
+        WITH e AS (
+          SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
+                 count(*) AS n_copies
+          FROM documents GROUP BY md5(text)
+        ),
+        msig AS (
+          SELECT * FROM (
+            WITH toks AS (
+              SELECT doc_id, {_SQL_TOKS} AS tl FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] AS shingle
+              FROM toks, UNNEST(range(1, greatest(len(tl) - 2, 0) + 1)) t(i)
+            )
+            SELECT doc_id, {minhash_mins} FROM sh GROUP BY doc_id
+          ) t
+        ),
+        ssig AS (
+          SELECT * FROM (
+            WITH toks AS (
+              SELECT doc_id, UNNEST(list_distinct({_SQL_TOKS})) AS tok
+              FROM documents
+            ),
+            hashes AS (
+              SELECT doc_id, {_md5long_sql('tok')} AS h FROM toks
+            )
+            SELECT doc_id, CAST({simhash_expr} AS BIGINT) AS sh
+            FROM hashes GROUP BY doc_id
+          ) t
+        )
+        SELECT 'exact' AS kind, text_md5 AS id_s, 'keep_id' AS k,
+               CAST(keep_id AS BIGINT) AS v FROM e
+        UNION ALL
+        SELECT 'exact', text_md5, 'n_copies', CAST(n_copies AS BIGINT) FROM e
+        UNION ALL {m_unions}
+        UNION ALL
+        SELECT 'simhash', CAST(doc_id AS VARCHAR), 'sh', CAST(sh AS BIGINT)
+        FROM ssig
+    """
+
 
 def _scrape_suite_sql() -> str:
     """q_scrape_suite's oracle: the arithmetic re-derivation of every
@@ -2131,23 +2449,11 @@ def oracle_sql() -> dict[str, str]:
             FROM emitted e JOIN nodes nd ON nd.doc_id = e.doc_id
             GROUP BY e.depth
         """,
-        "exact_dedup": """
-            SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
-                   count(*) AS n_copies
-            FROM documents GROUP BY md5(text)
-        """,
+        "dedup_suite": _dedup_suite_sql(minhash_mins),
+        "json_extract": _json_extract_sql(),
+        "chunk_suite": _chunk_suite_sql(),
+        "markdown_gen": _markdown_gen_sql(),
         "text_stats_suite": _text_stats_sql(),
-        "minhash_signature": f"""
-            WITH toks AS (
-              SELECT doc_id, {_SQL_TOKS} AS tl FROM documents
-            ),
-            sh AS (
-              SELECT doc_id,
-                     tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] AS shingle
-              FROM toks, UNNEST(range(1, greatest(len(tl) - 2, 0) + 1)) t(i)
-            )
-            SELECT doc_id, {minhash_mins} FROM sh GROUP BY doc_id
-        """,
         "ngram_jaccard_pairs": f"""
             WITH toks AS (
               SELECT doc_id, {_SQL_TOKS} AS tl FROM documents
@@ -2420,23 +2726,6 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 3
         """,
-        "simhash": f"""
-            WITH toks AS (
-              SELECT doc_id, UNNEST(list_distinct({_SQL_TOKS})) AS tok FROM documents
-            ),
-            hashes AS (
-              SELECT doc_id, {_md5long_sql('tok')} AS h FROM toks
-            )
-            SELECT doc_id, CAST({simhash_expr} AS BIGINT) AS sh
-            FROM hashes GROUP BY doc_id
-        """,
-        "head_bm25": """
-            WITH t AS (
-              SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
-              FROM documents
-            )
-            SELECT doc_id, CAST(floor((0.0 + ln((2.0 / (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) + 0.5)) + 1.0) * (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) * 2.2 / (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / 1000.0)))) + ln((2.0 / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) + 0.5)) + 1.0) * (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) * 2.2 / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / 1000.0)))) + ln((2.0 / (CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) + 0.5)) + 1.0) * (CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) * 2.2 / (CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / 1000.0))))) * 1e6) AS BIGINT) AS bm25_fp FROM t
-        """,
         "seeder_bm25": r"""
             WITH 
             toks AS (
@@ -2519,6 +2808,8 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "content_relevance_filter": """
+            SELECT crf.*, hb.text_bm25_fp
+            FROM (
             WITH h AS (
               SELECT doc_id,
                 CASE WHEN doc_id % 3 = 0 THEN 'spark data engine' ELSE 'misc page notes' END AS title,
@@ -2552,6 +2843,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(floor(score * 1e6) AS BIGINT) AS bm25_fp,
                    score >= 0.4 AS passed
             FROM sc
+        ) crf
+            JOIN (
+
+            WITH t AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            )
+            SELECT doc_id, CAST(floor((0.0 + ln((2.0 / (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) + 0.5)) + 1.0) * (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) * 2.2 / (CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / 1000.0)))) + ln((2.0 / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) + 0.5)) + 1.0) * (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) * 2.2 / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / 1000.0)))) + ln((2.0 / (CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) + 0.5)) + 1.0) * (CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) * 2.2 / (CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len(toks) AS DOUBLE) / 1000.0))))) * 1e6) AS BIGINT) AS text_bm25_fp FROM t
+        ) hb USING (doc_id)
         """,
 
         "total_score": f"""

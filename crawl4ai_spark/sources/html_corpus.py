@@ -296,3 +296,137 @@ def scrape_expected_sql(
            CAST(NULL AS VARCHAR), NULL, NULL, NULL, FALSE
     FROM meta_rows
     """
+
+
+def markdown_expected_sql(branching: int = DEFAULT_BRANCHING) -> str:
+    """q_markdown_gen oracle: the FULL raw / citations / references
+    markdown strings of every html_col page, reconstructed from the
+    construction arithmetic (markdown.py's documented rule set +
+    the reference-exact citation algorithm, including fast_urljoin's
+    naive base||path join for root-relative hrefs), then fingerprinted.
+    Sized from the documents view like scrape_expected_sql(None)."""
+    assert branching == 3, "oracle is specialized to branching=3"
+    n_expr = "(SELECT COUNT(*) FROM documents)"
+    nl = "chr(10)"
+    nl2 = f"{nl} || {nl}"
+
+    def md5fp(expr: str) -> str:
+        return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+    canon_c = _sql_canon("child")
+    secs = "(['blog','docs','api','news','shop'])"
+    exts = "(['.html','.pdf','.jpg',''])"
+    # raw (entity-decoded) href per child — markdown uses it verbatim
+    href = f"""CASE
+        WHEN (i + j) % 4 = 1
+             AND (CASE WHEN i % 2 = 0 THEN 0 ELSE i % 7 END)
+               = (CASE WHEN child % 2 = 0 THEN 0 ELSE child % 7 END)
+          THEN '/' || {secs}[CAST(child % 5 AS INT) + 1]
+               || '/' || CAST(2015 + child % 10 AS VARCHAR)
+               || '/doc-' || child
+               || {exts}[CAST(child % 4 AS INT) + 1]
+        WHEN (i + j) % 4 = 2
+          THEN {canon_c} || '?utm_source=feed&fbclid=f' || i
+        WHEN (i + j) % 4 = 3 THEN {canon_c} || '#frag'
+        ELSE {canon_c}
+      END"""
+
+    # blocks
+    alt = "CASE WHEN i % 5 <> 0 THEN 'pic ' || i ELSE '' END"
+    raw = f"""
+        '# doc-' || i
+        || {nl2} || 'media context for doc ' || i
+        || '![' || {alt} || '](/img/doc-' || (i % 499) || '.png)'
+        || '![icon](/icons/logo-' || i || '.png)'
+        || CASE WHEN i % 9 = 0 THEN {nl2} || 'gallery ' || i ELSE '' END
+        || CASE WHEN i % 10 = 0 THEN {nl2} || 'clip ' || i ELSE '' END
+        || CASE WHEN i % 15 = 0 THEN {nl2} || 'audio ' || i ELSE '' END
+        || {nl2}
+        || '* [anchor ' || i || ' 1](' || h1 || ' "t-' || c1 || '")' || {nl}
+        || '* [anchor ' || i || ' 2](' || h2 || ' "t-' || c2 || '")' || {nl}
+        || '* [anchor ' || i || ' 3](' || h3 || ' "t-' || c3 || '")' || {nl}
+        || '* [dup ' || i || '](' || h1 || ')'
+        || CASE WHEN i % 6 = 0 THEN {nl2} || 'see [partner ' || i
+                || '](https://ext' || (i % 3) || '.partner.org/p/' || i || ')'
+           ELSE '' END
+        || {nl2} || '[menu](javascript:void(0))[contact](mailto:contact@d'
+        || dom || '.example.com)'
+    """
+    cit = f"""
+        '# doc-' || i
+        || {nl2} || 'media context for doc ' || i
+        || '![' || {alt} || '⟨1⟩]' || '![icon⟨2⟩]'
+        || CASE WHEN i % 9 = 0 THEN {nl2} || 'gallery ' || i ELSE '' END
+        || CASE WHEN i % 10 = 0 THEN {nl2} || 'clip ' || i ELSE '' END
+        || CASE WHEN i % 15 = 0 THEN {nl2} || 'audio ' || i ELSE '' END
+        || {nl2}
+        || '* anchor ' || i || ' 1⟨3⟩' || {nl}
+        || '* anchor ' || i || ' 2⟨4⟩' || {nl}
+        || '* anchor ' || i || ' 3⟨5⟩' || {nl}
+        || '* dup ' || i || '⟨3⟩'
+        || CASE WHEN i % 6 = 0 THEN {nl2} || 'see partner ' || i || '⟨6⟩'
+           ELSE '' END
+        || {nl2} || 'menu⟨' || (6 + CAST(i % 6 = 0 AS INT))
+        || '⟩contact⟨' || (7 + CAST(i % 6 = 0 AS INT)) || '⟩'
+    """
+    # references: citation urls AFTER fast_urljoin (root-relative v1
+    # hrefs become pageurl||relpath — the reference's naive join)
+    refs = f"""
+        {nl2} || '## References' || {nl2}
+        || '⟨1⟩ ' || url || '/img/doc-' || (i % 499) || '.png'
+        || CASE WHEN i % 5 <> 0 THEN ': pic ' || i ELSE '' END || {nl}
+        || '⟨2⟩ ' || url || '/icons/logo-' || i || '.png: icon' || {nl}
+        || '⟨3⟩ ' || u1 || ': t-' || c1 || ' - anchor ' || i || ' 1' || {nl}
+        || '⟨4⟩ ' || u2 || ': t-' || c2 || ' - anchor ' || i || ' 2' || {nl}
+        || '⟨5⟩ ' || u3 || ': t-' || c3 || ' - anchor ' || i || ' 3' || {nl}
+        || CASE WHEN i % 6 = 0 THEN '⟨6⟩ https://ext' || (i % 3)
+                || '.partner.org/p/' || i || ': partner ' || i || {nl}
+           ELSE '' END
+        || '⟨' || (6 + CAST(i % 6 = 0 AS INT))
+        || '⟩ javascript:void(0): menu' || {nl}
+        || '⟨' || (7 + CAST(i % 6 = 0 AS INT))
+        || '⟩ mailto:contact@d' || dom || '.example.com: contact' || {nl}
+    """
+    return f"""
+    WITH pages AS (
+      SELECT row_number() OVER () - 1 AS i FROM documents
+    ),
+    p2 AS (
+      SELECT i,
+             CAST(CASE WHEN i % 2 = 0 THEN 0 ELSE i % 7 END AS VARCHAR)
+               AS dom,
+             {_sql_canon("i")} AS url
+      FROM pages
+    ),
+    kids AS (
+      SELECT i, j, (i * 3 + j) % {n_expr} AS child
+      FROM pages, range(1, 4) r(j)
+    ),
+    kh AS (
+      SELECT i, j, child, {href} AS href FROM kids
+    ),
+    kk AS (
+      SELECT i,
+             MAX(CASE WHEN j = 1 THEN child END) AS c1,
+             MAX(CASE WHEN j = 2 THEN child END) AS c2,
+             MAX(CASE WHEN j = 3 THEN child END) AS c3,
+             MAX(CASE WHEN j = 1 THEN href END) AS h1,
+             MAX(CASE WHEN j = 2 THEN href END) AS h2,
+             MAX(CASE WHEN j = 3 THEN href END) AS h3
+      FROM kh GROUP BY i
+    ),
+    joined AS (
+      SELECT p2.i, p2.dom, p2.url, kk.c1, kk.c2, kk.c3,
+             kk.h1, kk.h2, kk.h3,
+             CASE WHEN kk.h1 LIKE '/%' THEN p2.url || kk.h1 ELSE kk.h1 END AS u1,
+             CASE WHEN kk.h2 LIKE '/%' THEN p2.url || kk.h2 ELSE kk.h2 END AS u2,
+             CASE WHEN kk.h3 LIKE '/%' THEN p2.url || kk.h3 ELSE kk.h3 END AS u3
+      FROM p2 JOIN kk ON p2.i = kk.i
+    )
+    SELECT i AS doc_id,
+           {md5fp(f"({raw})")} AS raw_fp,
+           {md5fp(f"({cit})")} AS cit_fp,
+           {md5fp(f"({refs})")} AS ref_fp,
+           CAST(7 + CAST(i % 6 = 0 AS INT) AS INT) AS n_refs
+    FROM joined
+    """

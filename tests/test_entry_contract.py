@@ -33,6 +33,21 @@ def test_suites_carry_retired_coverage(spark):
     ss = q["seeds_suite"](spark, sf)
     s_srcs = {r["source"] for r in ss.select("source").distinct().collect()}
     assert s_srcs == {"sitemap", "cc"}
+    # r5: exact_dedup + minhash_signature + simhash → dedup_suite
+    ds2 = q["dedup_suite"](spark, sf)
+    kinds = {r["kind"] for r in ds2.select("kind").distinct().collect()}
+    assert kinds == {"exact", "minhash", "simhash"}
+    # r5: head_bm25 → content_relevance_filter column text_bm25_fp
+    assert "text_bm25_fp" in q["content_relevance_filter"](spark, sf).columns
+    # r5: chunk_suite covers 3 strategies × 2 parameterizations
+    strats = {
+        r["strat"]
+        for r in q["chunk_suite"](spark, sf).select("strat").distinct().collect()
+    }
+    assert strats == {
+        "fixed_50", "fixed_120", "sliding_30_10", "sliding_45_15",
+        "overlap_60_20", "overlap_40_10",
+    }
     suite_cols = {
         "scorer_suite": {"kw_score", "ctype_score", "fresh_score",
                          "domauth_score", "depth_score", "comp_score"},

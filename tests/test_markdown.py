@@ -1,0 +1,190 @@
+"""Markdown generation (functions/markdown.py): converter rule set,
+reference-exact citations (markdown_generation_strategy.py:82-147),
+PruningContentFilter scoring (content_filter_strategy.py:541-806), and
+the corpus fingerprint three-way vs the arithmetic oracle."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.functions.markdown import (
+    DefaultMarkdownGenerator,
+    PruningContentFilter,
+    convert_links_to_citations,
+    fast_urljoin,
+    html_to_markdown,
+    with_markdown,
+)
+from crawl4ai_spark.sources.html_corpus import (
+    build_html_pages,
+    markdown_expected_sql,
+)
+
+
+def test_converter_core_elements():
+    html = """<html><body>
+    <h1>Title</h1><h3>Sub</h3>
+    <p>Some <b>bold</b> and <em>italic</em> and <code>x=1</code>.</p>
+    <p>A <a href="/rel" title="T">link</a> and <img src="/i.png" alt="pic">.</p>
+    <ul><li>one</li><li>two<ul><li>nested</li></ul></li></ul>
+    <ol><li>first</li><li>second</li></ol>
+    <blockquote><p>quoted</p></blockquote>
+    <pre>  code block  </pre>
+    <hr>
+    <table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>
+    </body></html>"""
+    md = html_to_markdown(html)
+    assert "# Title" in md and "### Sub" in md
+    assert "Some **bold** and *italic* and `x=1`." in md
+    assert '[link](/rel "T")' in md and "![pic](/i.png)" in md
+    assert "* one\n* two\n  * nested" in md
+    assert "1. first\n2. second" in md
+    assert "> quoted" in md
+    assert "```\n  code block  \n```" in md  # pre strips newlines only
+    assert "---" in md
+    assert "| a | b |\n|---|---|\n| 1 | 2 |" in md
+    # head/script/style/video content never leaks
+    noisy = ("<html><head><title>t</title><style>.x{}</style></head>"
+             "<body><script>var a;</script><video src='/v'></video>"
+             "<p>real</p></body></html>")
+    assert html_to_markdown(noisy) == "real"
+
+
+def test_citations_reference_parity():
+    md = ('See [Alpha](https://a.org "A") and [Beta](/b) and '
+          '![img](/i.png) and [Alpha](https://a.org "A") again.')
+    cit, refs = convert_links_to_citations(md, "https://base.org/page")
+    # first-occurrence numbering; repeat reuses the number
+    assert cit == ("See Alpha⟨1⟩ and Beta⟨2⟩ and ![img⟨3⟩] and "
+                   "Alpha⟨1⟩ again.")
+    assert refs == ("\n\n## References\n\n"
+                    "⟨1⟩ https://a.org: A - Alpha\n"
+                    "⟨2⟩ https://base.org/page/b: Beta\n"
+                    "⟨3⟩ https://base.org/page/i.png: img\n")
+    # no base_url → relative urls kept verbatim
+    cit2, refs2 = convert_links_to_citations("[x](/y)")
+    assert "⟨1⟩ /y: x" in refs2
+    # title == text → single desc
+    _, refs3 = convert_links_to_citations('[T](https://t.io "T")')
+    assert refs3.endswith("⟨1⟩ https://t.io: T\n")
+
+
+def test_fast_urljoin_quirks():
+    # reference parity: absolute path naively appended to a non-slash
+    # base (markdown_generation_strategy.py:18-22)
+    assert fast_urljoin("https://a.org/deep/page", "/x") == \
+        "https://a.org/deep/page/x"
+    assert fast_urljoin("https://a.org/", "/x") == "https://a.org/x"
+    assert fast_urljoin("https://a.org/d/", "rel") == "https://a.org/d/rel"
+    assert fast_urljoin("https://a.org", "https://b.org/p") == \
+        "https://b.org/p"
+    assert fast_urljoin("https://a.org", "//cdn.org/p") == "//cdn.org/p"
+
+
+def test_pruning_filter_fixed_threshold():
+    html = """<body>
+    <article>This is a long paragraph of real content with many words
+    that should comfortably survive pruning because its text density is
+    high and it has no links at all in it.</article>
+    <div class="sidebar-ads"><a href="/x">ad</a></div>
+    <ul><li><a href="/1">l1</a></li><li><a href="/2">l2</a></li></ul>
+    </body>"""
+    blocks = PruningContentFilter(threshold=0.48).filter_content(html)
+    joined = " ".join(blocks)
+    assert "real content" in joined
+    assert "sidebar-ads" not in joined  # negative class + link-only
+    assert "/1" not in joined           # link list pruned
+    # min_word_threshold: short nodes get guaranteed removal
+    few = PruningContentFilter(
+        threshold=0.0, min_word_threshold=50
+    ).filter_content(html)
+    assert few == []
+
+
+def test_pruning_preserve_and_dynamic():
+    html = ('<body><nav>gone</nav>'
+            '<div class="keepme"><a href="/x">y</a></div>'
+            '<p>Plain paragraph with enough words to stand alone '
+            'and a decent text ratio overall.</p></body>')
+    # excluded tags removed before scoring
+    out = PruningContentFilter(threshold=0.0).filter_content(html)
+    assert not any("gone" in b for b in out)
+    # at 0.48 the link-only div is pruned; preserve_classes rescues it
+    # (preservation guards nodes reached during recursion — a body-level
+    # wipeout at an absurd threshold removes everything, as in the
+    # reference)
+    pruned = PruningContentFilter(threshold=0.48).filter_content(html)
+    assert not any("keepme" in b for b in pruned)
+    kept = PruningContentFilter(
+        threshold=0.48, preserve_classes=["keepme"]
+    ).filter_content(html)
+    assert any("keepme" in b for b in kept)
+    # dynamic threshold runs (p gets the 0.8 importance discount)
+    dyn = PruningContentFilter(
+        threshold=0.48, threshold_type="dynamic"
+    ).filter_content(html)
+    assert any("Plain paragraph" in b for b in dyn)
+
+
+def test_generator_composition(spark):
+    gen = DefaultMarkdownGenerator(
+        content_filter=PruningContentFilter(threshold=0.48)
+    )
+    html = ('<body><h2>H</h2><p>Body text with enough words to '
+            'survive the pruning filter easily here.</p>'
+            '<ul><li><a href="/a">a</a></li></ul></body>')
+    r = gen.generate_markdown(html, "https://s.io/p")
+    assert r["raw_markdown"].startswith("## H")
+    assert "⟨1⟩" in r["markdown_with_citations"]
+    assert r["references_markdown"].startswith("\n\n## References")
+    assert "Body text" in r["fit_markdown"]
+    assert "[a](/a)" not in r["fit_markdown"]  # link list pruned
+
+
+N = 60
+
+
+def _py_fp(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_corpus_markdown_matches_arithmetic_oracle(spark):
+    rows = build_html_pages(spark, N).select("doc_id", "url", "html").collect()
+    gen = DefaultMarkdownGenerator()
+    got = []
+    for r in rows:
+        m = gen.generate_markdown(r["html"], r["url"])
+        got.append((
+            r["doc_id"], _py_fp(m["raw_markdown"]),
+            _py_fp(m["markdown_with_citations"]),
+            _py_fp(m["references_markdown"]),
+            m["references_markdown"].count("⟨"),
+        ))
+    gdf = pd.DataFrame(
+        got, columns=["doc_id", "raw_fp", "cit_fp", "ref_fp", "n_refs"]
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM range({N}) t(doc_id)")
+    odf = con.sql(markdown_expected_sql()).df()
+    m = gdf.merge(odf, on="doc_id", suffixes=("_g", "_o"))
+    for c in ("raw_fp", "cit_fp", "ref_fp", "n_refs"):
+        assert (m[f"{c}_g"].astype("int64") ==
+                m[f"{c}_o"].astype("int64")).all(), c
+
+
+def test_markdown_udf_single_crossing(spark):
+    pages = build_html_pages(spark, N).select("doc_id", "url", "html")
+    df = with_markdown(pages)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("ArrowEvalPython (") == 1, plan
+    out = df.select("doc_id", "markdown.raw_markdown").limit(2).collect()
+    assert all(r["raw_markdown"].startswith("# doc-") for r in out)
