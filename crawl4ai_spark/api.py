@@ -44,13 +44,14 @@ INTO commits, so the cache is durable, time-travelable state (the
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from enum import Enum
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawl4ai_spark.functions.filters import FilterChain
+from crawl4ai_spark.functions.proxies import ProxyConfig
 from crawl4ai_spark.functions.scorers import Scorer
 from crawl4ai_spark.operators.frontier import CrawlEngine, CrawlSpec
 from crawl4ai_spark.operators.politeness import PolitenessSpec
@@ -130,11 +131,40 @@ class BestFirstCrawlingStrategy(_DeepCrawlStrategy):
     _strategy = "best_first"
 
 
+class RoundRobinProxyStrategy:
+    """Facade for the reference's ``RoundRobinProxyStrategy``
+    (proxy_strategy.py:190-223): holds the proxy pool and deals
+    assignments.  The driver-side ``itertools.cycle`` becomes the pure
+    Column functions of functions/proxies.py — request order k → proxy
+    k mod n, sticky sessions → salted-hash mod n — so the rotation
+    distributes without a shared iterator.  Accepts ``ProxyConfig``
+    objects or 'ip:port[:user:pass]' strings (from_string parity)."""
+
+    def __init__(self, proxies=None):
+        from crawl4ai_spark.functions.proxies import ProxyConfig
+
+        self.proxies = [
+            p if isinstance(p, ProxyConfig) else ProxyConfig.from_string(p)
+            for p in (proxies or [])
+        ]
+
+    def column(self, order_col, session_col=None, epoch: int = 0):
+        from crawl4ai_spark.functions.proxies import (
+            round_robin_proxy,
+            session_proxy,
+        )
+
+        if session_col is not None:
+            return session_proxy(session_col, self.proxies, epoch=epoch)
+        return round_robin_proxy(order_col, self.proxies)
+
+
 @dataclass
 class CrawlerRunConfig:
     """The crawl-tier subset of the reference's CrawlerRunConfig
-    (async_configs.py): strategy, cache mode, robots gate, politeness.
-    Browser/scraping/extraction knobs are content-tier, out of scope."""
+    (async_configs.py): strategy, cache mode, robots gate, politeness,
+    retries, proxy rotation.  Browser/scraping/extraction knobs are
+    content-tier, out of scope."""
 
     deep_crawl_strategy: _DeepCrawlStrategy | None = None
     cache_mode: CacheMode | None = CacheMode.BYPASS  # async_configs default
@@ -150,16 +180,56 @@ class CrawlerRunConfig:
     enable_rate_limiting: bool = False
     mean_delay: float = 0.1   # async_configs.py:1634
     max_range: float = 0.3    # async_configs.py:1635
+    # P7 wiring (VERDICT-r4 #5).  max_retries (async_configs.py:1704,
+    # default 0) turns on the engine's per-URL requeue composition
+    # (PolitenessSpec.requeue) with that retry budget; results then
+    # carry retry_count.  proxy_rotation_strategy
+    # (async_configs.py:1605) / proxy_config assign a ``proxy`` struct
+    # column to every result row — data, not connections: the fetch
+    # layer reads it when issuing requests.
+    max_retries: int = 0
+    proxy_rotation_strategy: RoundRobinProxyStrategy | None = None
+    proxy_config: "ProxyConfig | None" = None
+    proxy_session_id: str | None = None
 
     def effective_politeness(self) -> PolitenessSpec | None:
         if self.politeness is not None:
-            return self.politeness
-        if self.enable_rate_limiting:
+            spec = self.politeness
+            if self.max_retries > 0 and not spec.requeue:
+                spec = replace(
+                    spec, requeue=True, max_retries=self.max_retries
+                )
+            return spec
+        if self.enable_rate_limiting or self.max_retries > 0:
             return PolitenessSpec(
                 base_lo=self.mean_delay,
                 base_hi=self.mean_delay + self.max_range,
                 max_delay=60.0,
-                max_retries=3,
+                max_retries=(
+                    self.max_retries if self.max_retries > 0 else 3
+                ),
+                requeue=self.max_retries > 0,
+            )
+        return None
+
+    def proxy_column(self, order_col):
+        """The ``proxy`` struct for a result row, or None when no proxy
+        machinery is configured.  Precedence mirrors the reference:
+        a rotation strategy over a static proxy_config
+        (async_webcrawler.py picks rotation when both are set)."""
+        if self.proxy_rotation_strategy is not None:
+            if self.proxy_session_id is not None:
+                return self.proxy_rotation_strategy.column(
+                    order_col, session_col=F.lit(self.proxy_session_id)
+                )
+            return self.proxy_rotation_strategy.column(order_col)
+        if self.proxy_config is not None:
+            p = self.proxy_config
+            return F.struct(
+                F.lit(p.server).alias("server"),
+                F.lit(p.username).cast("string").alias("username"),
+                F.lit(p.password).cast("string").alias("password"),
+                F.lit(p.ip).cast("string").alias("ip"),
             )
         return None
 
@@ -581,12 +651,18 @@ class WebCrawler:
             raise ValueError("arun_many needs at least one url")
         config = config or CrawlerRunConfig()
         if config.deep_crawl_strategy is not None:
+            # effective_politeness folds max_retries into the requeue
+            # spec (P7), so CrawlerRunConfig(max_retries=N) alone turns
+            # on per-URL retries and surfaces retry_count in results
             spec = config.deep_crawl_strategy.to_spec(
-                politeness=config.politeness,
+                politeness=config.effective_politeness(),
                 robots=self.robots if config.check_robots_txt else None,
             )
             engine = CrawlEngine(self.spark, self.pages, spec)
             res = engine.run(urls[0] if len(urls) == 1 else urls)
+            pc = config.proxy_column(F.col("emit_seq"))
+            if pc is not None:
+                res = res.withColumn("proxy", pc)
             # cache WRITE gate on the deep path (the reference caches
             # each successfully processed page, async_webcrawler.py:
             # 671-672).  Cache READS are a semantic no-op here: the
@@ -668,9 +744,17 @@ class WebCrawler:
             # corpus-known urls only: the dead anti-join below stays the
             # single source of unknown-url failure rows on both paths
             known = misses.join(self.pages.select("url"), "url", "left_semi")
-            emitted = eng.run(known).select(
+            raw = eng.run(known)
+            # surface the accumulated retry_count when the requeue path
+            # ran (max_retries > 0 — async_configs.py:1704 semantics)
+            extra = (
+                [F.col("retry_count")]
+                if "retry_count" in raw.columns and config.max_retries > 0
+                else []
+            )
+            emitted = raw.select(
                 "url", "success", "status_code",
-                F.lit(False).alias("from_cache"),
+                F.lit(False).alias("from_cache"), *extra,
             )
             # urls whose domain retired mid-batch are dropped by the
             # engine's long-standing retired-domain semantics; the
@@ -688,7 +772,7 @@ class WebCrawler:
                     F.lit(False).alias("from_cache"),
                 )
             )
-            live = emitted.unionByName(dropped)
+            live = emitted.unionByName(dropped, allowMissingColumns=True)
         else:
             live = misses.join(
                 self.pages.select("url", "success", "status_code"),
@@ -712,9 +796,22 @@ class WebCrawler:
                 live.filter(F.col("success") & _cacheable(F.col("url")))
             )
 
-        out = live.unionByName(dead)
+        out = live.unionByName(dead, allowMissingColumns=True)
         if hits is not None:
-            out = hits.unionByName(out)
+            out = hits.unionByName(out, allowMissingColumns=True)
         if blocked is not None:
-            out = blocked.unionByName(out)
-        return out.select(*FETCH_RESULT_COLS)
+            out = blocked.unionByName(out, allowMissingColumns=True)
+        cols = list(FETCH_RESULT_COLS)
+        if "retry_count" in out.columns:
+            # null for cache hits / robots blocks / dead urls — only
+            # live politeness-path fetches carry a real count
+            cols.append("retry_count")
+        out = out.select(*cols)
+        # static batches have no request order, so the rotation is the
+        # stateless url-hash assignment (a documented divergence from
+        # the reference's dispatch-order cycle — same pool, same
+        # determinism, no shared iterator)
+        pc = config.proxy_column(F.abs(F.xxhash64(F.col("url"))))
+        if pc is not None:
+            out = out.withColumn("proxy", pc)
+        return out

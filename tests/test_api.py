@@ -381,3 +381,77 @@ def test_durable_cache_is_versioned(spark, pages, tmp_path):
     crawler2 = WebCrawler(spark, pages, cache_dir=cache_dir)
     r = crawler2.arun(_url(1), CrawlerRunConfig(cache_mode=CacheMode.ENABLED)).collect()
     assert r[0]["from_cache"]
+
+
+def test_p7_facade_max_retries_surfaces_retry_count(spark, pages):
+    """VERDICT-r4 #5: CrawlerRunConfig(max_retries=N) alone must turn
+    on the per-URL requeue composition and surface retry_count —
+    the reference call site CrawlerRunConfig(max_retries=...)
+    (async_configs.py:1704) translated."""
+    crawler = WebCrawler(spark, pages)
+    cfg = CrawlerRunConfig(max_retries=2)
+    spec = cfg.effective_politeness()
+    assert spec is not None and spec.requeue and spec.max_retries == 2
+    # politeness spec provided explicitly: max_retries folds in
+    from crawl4ai_spark.operators.politeness import PolitenessSpec
+
+    cfg2 = CrawlerRunConfig(
+        politeness=PolitenessSpec(seed=7), max_retries=4
+    )
+    spec2 = cfg2.effective_politeness()
+    assert spec2.requeue and spec2.max_retries == 4 and spec2.seed == 7
+    # end-to-end: batch fetch through the requeue engine carries the
+    # column (429/503 statuses in the corpus exercise the retry loop)
+    urls = [_url(i) for i in range(1, 40) if i % 13 != 0]
+    res = crawler.arun_many(urls, CrawlerRunConfig(max_retries=2))
+    assert "retry_count" in res.columns
+    rows = res.collect()
+    assert all(
+        r["retry_count"] is None or r["retry_count"] >= 0 for r in rows
+    )
+
+
+def test_p7_facade_proxy_rotation(spark, pages):
+    """Reference call site CrawlerRunConfig(
+    proxy_rotation_strategy=RoundRobinProxyStrategy(proxies))
+    (async_configs.py:1605) — results carry a proxy struct; deep-path
+    assignment is cycle-parity over emit_seq."""
+    from crawl4ai_spark.api import RoundRobinProxyStrategy
+
+    strat = RoundRobinProxyStrategy(
+        ["10.0.0.1:8080:u:pw", "10.0.0.2:8080"]
+    )
+    assert [p.server for p in strat.proxies] == [
+        "http://10.0.0.1:8080", "http://10.0.0.2:8080",
+    ]
+    crawler = WebCrawler(spark, pages)
+    res = crawler.arun(
+        _url(1),
+        CrawlerRunConfig(
+            deep_crawl_strategy=BFSDeepCrawlStrategy(max_depth=1),
+            proxy_rotation_strategy=strat,
+        ),
+    )
+    rows = sorted(res.collect(), key=lambda r: r["emit_seq"])
+    assert len(rows) > 2
+    for r in rows:
+        want = strat.proxies[r["emit_seq"] % 2]
+        assert r["proxy"]["server"] == want.server
+        assert r["proxy"]["username"] == want.username
+    # static proxy_config: constant struct on the flat batch path
+    from crawl4ai_spark.api import ProxyConfig
+
+    res2 = crawler.arun_many(
+        [_url(1), _url(2)],
+        CrawlerRunConfig(proxy_config=ProxyConfig(server="http://p:1")),
+    ).collect()
+    assert all(r["proxy"]["server"] == "http://p:1" for r in res2)
+    # sticky session: every row gets the SAME pool member
+    res3 = crawler.arun_many(
+        [_url(1), _url(2), _url(4)],
+        CrawlerRunConfig(
+            proxy_rotation_strategy=strat, proxy_session_id="sess-9"
+        ),
+    ).collect()
+    servers = {r["proxy"]["server"] for r in res3}
+    assert len(servers) == 1 and servers <= {p.server for p in strat.proxies}
