@@ -113,10 +113,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    steals: dict[str, float] = {}
+
     def timed(name, fn):
+        """VERDICT r4 #3: per-query steal%% (the bff_crawl_walls
+        pattern generalized) — every wall carries its own host-supply
+        evidence so a noisy entry is attributable without re-running."""
+        b0, s0 = _read_stat()
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
+        b1, s1 = _read_stat()
+        steals[name] = round(100.0 * (s1 - s0) / max(b1 - b0, 1), 2)
         return out
 
     # --- q1: multi-seed BFS crawl (headline) -------------------------------
@@ -302,6 +310,7 @@ def main() -> None:
         b1, s1 = _read_stat()
         bff_steals.append(round(100.0 * (s1 - s0) / max(b1 - b0, 1), 2))
     timings["bff_crawl"] = min(bff_walls)
+    steals["bff_crawl"] = bff_steals[bff_walls.index(min(bff_walls))]
     extras["bff_crawl_walls"] = bff_walls
     # per-wall steal%: a 2-4x slow wall with high steal is host CPU
     # supply, not the engine (the strict loop is driver-job-bound and
@@ -588,6 +597,57 @@ def main() -> None:
 
     timed("chunking", chunking)
 
+    # --- r5: HTML tier — scan-tier fast link mining (pure JVM), full
+    # scrape UDF, markdown generation (both Arrow-batched, one crossing)
+    from crawl4ai_spark.functions.markdown import with_markdown
+    from crawl4ai_spark.functions.scrape import (
+        scraped_pages,
+        with_scraped_page,
+    )
+    from crawl4ai_spark.sources.html_corpus import build_html_pages
+
+    html_big = build_html_pages(spark, n_docs * 10).select(
+        "doc_id", "url", "html", "success", "status_code"
+    )
+    html_small = build_html_pages(spark, n_docs).select(
+        "doc_id", "url", "html"
+    )
+
+    def scrape_fast():
+        n = (
+            scraped_pages(html_big, mode="fast")
+            .select(F.sum(F.size("links")).alias("n"))
+            .collect()[0]["n"]
+        )
+        extras["fast_links_emitted"] = int(n)
+        return n
+
+    timed("scrape_links_fast", scrape_fast)
+
+    def scrape_full():
+        n = (
+            with_scraped_page(html_small)
+            .select(F.sum(F.size("scraped.links")).alias("n"))
+            .collect()[0]["n"]
+        )
+        extras["full_links_emitted"] = int(n)
+        return n
+
+    timed("scrape_full", scrape_full)
+
+    def markdown_gen():
+        n = (
+            with_markdown(html_small)
+            .select(
+                F.sum(F.length("markdown.raw_markdown")).alias("n")
+            )
+            .collect()[0]["n"]
+        )
+        extras["markdown_chars"] = int(n)
+        return n
+
+    timed("markdown_gen", markdown_gen)
+
     total = round(sum(timings.values()), 3)
     busy1, steal1 = _read_stat()
     steal_pct = round(100.0 * (steal1 - _steal0) / max(busy1 - _busy0, 1), 2)
@@ -601,6 +661,7 @@ def main() -> None:
                 # stolen by the hypervisor during this suite run — walls
                 # from high-steal runs measure the host, not the engine
                 "steal_pct": steal_pct,
+                "steal_pcts": steals,
                 "queries": timings,
                 "sf": sf,
                 "cpus": CPUS,

@@ -159,6 +159,24 @@ class RoundRobinProxyStrategy:
         return round_robin_proxy(order_col, self.proxies)
 
 
+class WebScrapingStrategy:
+    """Facade for the reference's scraping strategies — both
+    ``WebScrapingStrategy`` (BeautifulSoup) and
+    ``LXMLWebScrapingStrategy`` produce the same links/media/metadata
+    result (content_scraping_strategy.py); here ONE DOM-lite
+    implementation (functions/scrape.py) serves both names.  Holds the
+    option set (exclude_external_links, exclude_domains,
+    exclude_social_media_links, image_score_threshold,
+    exclude_external_images) forwarded to the scrape UDF."""
+
+    def __init__(self, **options):
+        self.options = dict(options)
+
+
+# ctor-name parity for reference call sites; same implementation
+LXMLWebScrapingStrategy = WebScrapingStrategy
+
+
 @dataclass
 class CrawlerRunConfig:
     """The crawl-tier subset of the reference's CrawlerRunConfig
@@ -191,6 +209,15 @@ class CrawlerRunConfig:
     proxy_rotation_strategy: RoundRobinProxyStrategy | None = None
     proxy_config: "ProxyConfig | None" = None
     proxy_session_id: str | None = None
+    # content tier (r5, html-backed corpora only): the reference runs
+    # scraping on every arun and markdown via markdown_generator
+    # (async_webcrawler.py:821-949).  Here both are opt-in columns —
+    # ``scraping_strategy`` attaches the ``scraped`` struct
+    # (links/media/metadata), ``markdown_generator`` the ``markdown``
+    # struct (raw/citations/references/fit) — joined back by url, so
+    # the page bytes never ride the crawl shuffle.
+    scraping_strategy: WebScrapingStrategy | None = None
+    markdown_generator: object | None = None
 
     def effective_politeness(self) -> PolitenessSpec | None:
         if self.politeness is not None:
@@ -545,8 +572,19 @@ class WebCrawler:
         pages: DataFrame,
         robots: RobotsRules | None = None,
         cache_dir: str | None = None,
+        scrape_mode: str = "fast",
     ):
         self.spark = spark
+        self._html: DataFrame | None = None
+        if "links" not in pages.columns and "html" in pages.columns:
+            # html-backed "web": build the fetch-shaped links FROM the
+            # html (functions/scrape.scraped_pages) and keep the raw
+            # html aside for the content tier (scraping_strategy /
+            # markdown_generator result columns)
+            from crawl4ai_spark.functions.scrape import scraped_pages
+
+            self._html = pages.select("url", "html")
+            pages = scraped_pages(pages, mode=scrape_mode)
         self.pages = pages
         self.robots = robots
         self._cache_table: VersionedTable | None = None
@@ -663,6 +701,7 @@ class WebCrawler:
             pc = config.proxy_column(F.col("emit_seq"))
             if pc is not None:
                 res = res.withColumn("proxy", pc)
+            res = self._attach_content(res, config)
             # cache WRITE gate on the deep path (the reference caches
             # each successfully processed page, async_webcrawler.py:
             # 671-672).  Cache READS are a semantic no-op here: the
@@ -682,6 +721,47 @@ class WebCrawler:
                 )
             return res
         return self._fetch_batch(urls, config)
+
+    def _attach_content(
+        self, res: DataFrame, config: CrawlerRunConfig
+    ) -> DataFrame:
+        """Content tier over crawl results (html-backed corpora): the
+        reference scrapes every fetched page and renders markdown
+        (async_webcrawler.py:821-949); here each is one Arrow pass over
+        the result's pages — bytes joined back by url AFTER the crawl,
+        never riding the frontier shuffle (the image_crawl posture)."""
+        if self._html is None or (
+            config.scraping_strategy is None
+            and config.markdown_generator is None
+        ):
+            if self._html is None and (
+                config.scraping_strategy is not None
+                or config.markdown_generator is not None
+            ):
+                raise ValueError(
+                    "scraping_strategy/markdown_generator need an "
+                    "html-backed corpus (pages with an 'html' column)"
+                )
+            return res
+        out = res.join(self._html, "url", "left")
+        if config.scraping_strategy is not None:
+            from crawl4ai_spark.functions.scrape import with_scraped_page
+
+            out = with_scraped_page(
+                out, **config.scraping_strategy.options
+            )
+        if config.markdown_generator is not None:
+            from crawl4ai_spark.functions.markdown import markdown_udf
+
+            gen = config.markdown_generator
+            out = out.withColumn(
+                "markdown",
+                markdown_udf(
+                    citations=True,
+                    content_filter=getattr(gen, "content_filter", None),
+                )(F.col("url"), F.col("html")),
+            )
+        return out.drop("html")
 
     # -- the single-fetch pipeline (arun without a strategy) -----------------
 
@@ -814,4 +894,4 @@ class WebCrawler:
         pc = config.proxy_column(F.abs(F.xxhash64(F.col("url"))))
         if pc is not None:
             out = out.withColumn("proxy", pc)
-        return out
+        return self._attach_content(out, config)
