@@ -536,17 +536,21 @@ def q_scrape_suite(spark, sf_dir):
 
     n = _docs(spark, sf_dir).count()
     sc = (
-        with_scraped_page(build_html_pages(spark, n))
+        with_scraped_page(build_html_pages(spark, n), score_links=True)
         .select("doc_id", "scraped")
         .persist()
     )
     nil = F.lit(None).cast("int")
 
+    # link rows carry n1 = floor(intrinsic_score·1e6) — the r5
+    # score_links path (utils.py:3344-3456 over the per-page context)
+    # verified arithmetically per link kind
     links = sc.select("doc_id", F.explode("scraped.links").alias("l")).select(
         "doc_id", F.lit("link").alias("kind"),
         F.col("l.href").alias("k1"), F.col("l.text").alias("k2"),
         F.col("l.title").alias("k3"), F.col("l.base_domain").alias("k4"),
-        nil.alias("n1"), nil.alias("n2"), nil.alias("n3"),
+        F.floor(F.col("l.intrinsic_score") * 1e6).cast("int").alias("n1"),
+        nil.alias("n2"), nil.alias("n3"),
         F.col("l.is_external").alias("flag"),
     )
     imgs = sc.select(

@@ -97,6 +97,140 @@ def _full_base_url(root: Node, url: str) -> str:
     return url
 
 
+_PUNCT = '.,!?;:"()[]{}'
+
+NAV_CLASSES = ("nav", "menu", "primary", "main", "important")
+BAD_CLASSES = ("ad", "sponsor", "track", "promo", "banner")
+GOOD_RELS = ("canonical", "next", "prev", "chapter")
+BAD_RELS = ("nofollow", "sponsored", "ugc")
+GOOD_PATHS = ("/docs/", "/api/", "/guide/", "/tutorial/", "/reference/",
+              "/manual/")
+MEDIUM_PATHS = ("/blog/", "/article/", "/post/", "/news/")
+BAD_PATHS = ("/admin/", "/login/", "/cart/", "/checkout/", "/track/",
+             "/click/")
+GENERIC_TEXTS = ("click here", "read more", "more info", "link", "here")
+DOC_KEYWORDS = ("api", "reference", "guide", "tutorial", "example")
+_DOCS_DOMAINS = ("docs.", "api.", "developer.", "reference.")
+
+
+def py_page_context(root: Node, url: str) -> dict:
+    """extract_page_context + the page-context harvest of _scrap
+    (content_scraping_strategy.py:636-660, utils.py:3299-3341): title,
+    h1-h3 headlines, meta description → lowercase term set (punct
+    stripped, len>2), docs-site flag from the domain."""
+    from urllib.parse import urlparse
+
+    title_el = root.find("title")
+    page_title = title_el.text_content() if title_el is not None else ""
+    headlines = []
+    for tag in ("h1", "h2", "h3"):
+        for el in root.iter(tag):
+            t = el.text_content().strip()
+            if t:
+                headlines.append(t)
+    headlines_text = " ".join(headlines)
+    meta_description = ""
+    for m in root.iter("meta"):
+        if m.get("name") == "description" and m.get("content") is not None:
+            meta_description = m.get("content")
+            break
+    ctx = {
+        "terms": set(),
+        "headlines": headlines_text or "",
+        "meta_description": meta_description or "",
+        "domain": "",
+        "is_docs_site": False,
+    }
+    try:
+        parsed = urlparse(url)
+        ctx["domain"] = parsed.netloc.lower()
+        ctx["is_docs_site"] = any(
+            d in ctx["domain"] for d in _DOCS_DOMAINS
+        )
+        all_text = (
+            (page_title or "") + " " + ctx["headlines"] + " "
+            + ctx["meta_description"]
+        ).lower()
+        ctx["terms"] = {
+            w.strip(_PUNCT)
+            for w in all_text.split()
+            if len(w.strip(_PUNCT)) > 2
+        }
+    except Exception:
+        pass
+    return ctx
+
+
+def py_intrinsic_score(
+    link_text: str,
+    url: str,
+    title_attr: str,
+    class_attr: str,
+    rel_attr: str,
+    page_context: dict,
+) -> float:
+    """calculate_link_intrinsic_score parity (utils.py:3344-3456):
+    attribute/url/text quality + page-term overlap + docs-site bonus,
+    clamped to [0, 10]."""
+    score = 0.0
+    try:
+        if title_attr and len(title_attr.strip()) > 3:
+            score += 1.0
+        class_str = (class_attr or "").lower()
+        if any(c in class_str for c in NAV_CLASSES):
+            score += 1.5
+        if any(c in class_str for c in BAD_CLASSES):
+            score -= 1.0
+        rel_str = (rel_attr or "").lower()
+        if any(r in rel_str for r in GOOD_RELS):
+            score += 1.0
+        if any(r in rel_str for r in BAD_RELS):
+            score -= 0.5
+        url_lower = url.lower()
+        if any(p in url_lower for p in GOOD_PATHS):
+            score += 2.0
+        elif any(p in url_lower for p in MEDIUM_PATHS):
+            score += 1.0
+        if any(p in url_lower for p in BAD_PATHS):
+            score -= 1.5
+        url_depth = url.count("/") - 2
+        if url_depth <= 2:
+            score += 1.0
+        elif url_depth > 5:
+            score -= 0.5
+        if url.startswith("https://"):
+            score += 0.5
+        if link_text:
+            text_clean = link_text.strip()
+            if len(text_clean) > 3:
+                score += 1.0
+            word_count = len(text_clean.split())
+            if word_count >= 2:
+                score += 0.5
+            if word_count >= 4:
+                score += 0.5
+            if text_clean.lower() in GENERIC_TEXTS:
+                score -= 1.0
+        if page_context.get("terms") and link_text:
+            link_words = {
+                w.strip(_PUNCT).lower()
+                for w in link_text.split()
+                if len(w.strip(_PUNCT)) > 2
+            }
+            if link_words:
+                overlap = len(link_words & page_context["terms"])
+                if overlap > 0:
+                    score += (overlap / min(len(link_words), 10)) * 2.0
+        if page_context.get("is_docs_site", False):
+            if link_text and any(
+                k in link_text.lower() for k in DOC_KEYWORDS
+            ):
+                score += 1.0
+    except Exception:
+        score = 0.5
+    return max(0.0, min(score, 10.0))
+
+
 def py_scrape_links(
     url: str,
     html: str | None,
@@ -106,6 +240,7 @@ def py_scrape_links(
     exclude_social_media_links: bool = False,
     preserve_https: bool = False,
     original_scheme: str | None = None,
+    score_links: bool = False,
 ) -> list[dict]:
     """One flat list of link dicts (href/text/title/base_domain/
     is_external), first occurrence per normalized href per side —
@@ -117,6 +252,9 @@ def py_scrape_links(
     if exclude_social_media_links:
         excl |= set(SOCIAL_MEDIA_DOMAINS)
     base = _full_base_url(root, url)
+    # page context harvested ONCE per page when scoring
+    # (content_scraping_strategy.py:636-660 does it before removals)
+    ctx = py_page_context(root, url) if score_links else None
 
     seen_internal: set[str] = set()
     seen_external: set[str] = set()
@@ -135,12 +273,24 @@ def py_scrape_links(
             continue  # reference logs and skips (:293-295)
         if not norm:
             continue
+        text = a.text_content(skip_tags=NON_CONTENT_TAGS).strip()
+        title = (a.get("title") or "").strip()
         link = {
             "href": norm,
-            "text": a.text_content(skip_tags=NON_CONTENT_TAGS).strip(),
-            "title": (a.get("title") or "").strip(),
+            "text": text,
+            "title": title,
             "base_domain": base_domain,
             "is_external": False,
+            # score_links=False → 0, as the reference assigns
+            # (content_scraping_strategy.py:286-289)
+            "intrinsic_score": (
+                py_intrinsic_score(
+                    text, norm, title,
+                    a.get("class") or "", a.get("rel") or "", ctx,
+                )
+                if score_links
+                else 0.0
+            ),
         }
         if is_external_url(norm, base_domain):
             link_dom = get_base_domain(norm)
@@ -427,6 +577,7 @@ LINK_TYPE = T.ArrayType(T.StructType([
     T.StructField("title", T.StringType()),
     T.StructField("base_domain", T.StringType()),
     T.StructField("is_external", T.BooleanType()),
+    T.StructField("intrinsic_score", T.DoubleType()),
 ]))
 
 _IMAGE_FIELDS = [
@@ -466,6 +617,7 @@ def _scrape_page_py(url: str, html: str | None, opts: dict) -> dict:
         exclude_social_media_links=opts.get(
             "exclude_social_media_links", False
         ),
+        score_links=opts.get("score_links", False),
     )
     media = py_scrape_media(
         url, html,

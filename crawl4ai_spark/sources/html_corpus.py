@@ -213,26 +213,46 @@ def scrape_expected_sql(
       FROM pages, range(1, {branching + 1}) r(j)
     ),
     link_rows AS (
-      -- children, document order; hrefs normalize to the child canon
+      -- children, document order; hrefs normalize to the child canon.
+      -- n1 = floor(intrinsic·1e6), re-derived (utils.py:3344-3456):
+      -- text 'anchor i j' = +1.5, https +0.5, title 't-c' +1 iff
+      -- len>3 (c≥10), section path bonus (docs/api +2, blog/news +1),
+      -- page-term overlap +1 iff str(i) is a ≥3-char term (i≥100:
+      -- link word str(i) ∩ desc term str(i), ratio 1/min(2,10)·2)
       SELECT k.i AS doc_id, 'link' AS kind,
              {canon_c} AS k1,
              'anchor ' || k.i || ' ' || k.j AS k2,
              't-' || child AS k3,
              'example.com' AS k4,
+             CAST(floor((2.0
+               + (CASE WHEN child >= 10 THEN 1.0 ELSE 0 END)
+               + (CASE CAST(child % 5 AS INT)
+                    WHEN 1 THEN 2.0 WHEN 2 THEN 2.0
+                    WHEN 0 THEN 1.0 WHEN 3 THEN 1.0
+                    ELSE 0 END)
+               + (CASE WHEN k.i >= 100 THEN 1.0 ELSE 0 END)) * 1e6)
+               AS INT) AS n1,
              FALSE AS flag
       FROM kids k
       UNION ALL
+      -- partner: text +1.5, depth 2 → +1, https +0.5 (+ overlap)
       SELECT i, 'link',
              'https://ext' || (i % 3) || '.partner.org/p/' || i,
-             'partner ' || i, '', 'partner.org', TRUE
+             'partner ' || i, '', 'partner.org',
+             CAST(floor((3.0
+               + (CASE WHEN i >= 100 THEN 1.0 ELSE 0 END)) * 1e6)
+               AS INT),
+             TRUE
       FROM pages WHERE i % 6 = 0
       UNION ALL
-      SELECT i, 'link', 'javascript:void(0)', 'menu', '', '', TRUE
+      -- javascript:/mailto:: text +1, depth -2 → +1
+      SELECT i, 'link', 'javascript:void(0)', 'menu', '', '',
+             2000000, TRUE
       FROM pages
       UNION ALL
       SELECT i, 'link',
              'mailto:contact@d' || dom || '.example.com',
-             'contact', '', '', TRUE
+             'contact', '', '', 2000000, TRUE
       FROM pages
     ),
     image_rows AS (
@@ -281,7 +301,7 @@ def scrape_expected_sql(
       FROM pages WHERE i % 7 = 0
     )
     SELECT doc_id, kind, k1, k2, k3, k4,
-           CAST(NULL AS INT) AS n1, CAST(NULL AS INT) AS n2,
+           n1, CAST(NULL AS INT) AS n2,
            CAST(NULL AS INT) AS n3, flag
     FROM link_rows
     UNION ALL

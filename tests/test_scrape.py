@@ -216,8 +216,9 @@ def _suite_rows_from_scraped(rows) -> pd.DataFrame:
         i, s = r["doc_id"], r["scraped"]
         for l in s["links"]:
             got.append((i, "link", l["href"], l["text"], l["title"],
-                        l["base_domain"], None, None, None,
-                        l["is_external"]))
+                        l["base_domain"],
+                        int(l["intrinsic_score"] * 1e6 // 1),
+                        None, None, l["is_external"]))
         for im in s["media"]["images"]:
             got.append((i, "image", im["src"], im["alt"], im["desc"],
                         im["format"], im["score"], im["width"],
@@ -243,7 +244,11 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def test_corpus_scrape_matches_arithmetic_oracle(spark):
     pages = build_html_pages(spark, N)
-    rows = with_scraped_page(pages).select("doc_id", "scraped").collect()
+    rows = (
+        with_scraped_page(pages, score_links=True)
+        .select("doc_id", "scraped")
+        .collect()
+    )
     got = _canon(_suite_rows_from_scraped(rows))
     want = _canon(duckdb.sql(scrape_expected_sql(N)).df())
     assert len(got) == len(want)
@@ -263,3 +268,60 @@ def test_corpus_udf_matches_python_mirror(spark):
             for x in row["ql"]
         ]
         assert got == exp, row["doc_id"]
+
+
+def test_intrinsic_score_reference_parity():
+    """py_intrinsic_score vs hand-computed utils.py:3344-3456 cases,
+    plus py_page_context's term harvest and the score_links wiring."""
+    from crawl4ai_spark.functions.scrape import (
+        py_intrinsic_score,
+        py_page_context,
+    )
+    from crawl4ai_spark.functions.html_dom import parse_html
+
+    ctx = {"terms": set(), "is_docs_site": False}
+    # nav class +1.5, good rel +1, good path +2, depth<=2 +1,
+    # https +.5, text>3 +1, 2 words +.5 → 7.5
+    assert py_intrinsic_score(
+        "User Guide", "https://a.io/docs/x", "", "main-nav", "next", ctx
+    ) == pytest.approx(7.5)
+    # bad class -1, bad rel -.5, bad path -1.5, generic text -1,
+    # depth<=2 +1, text 'read more' >3 +1 +.5 words → -0.5 → clamp 0
+    assert py_intrinsic_score(
+        "read more", "http://a.io/admin/x", "", "ad-banner", "nofollow",
+        ctx,
+    ) == 0.0
+    # title>3 +1; deep url (>5) -0.5; 4 words +1+0.5+0.5
+    assert py_intrinsic_score(
+        "a long link label", "http://a.io/a/b/c/d/e/f", "titled", "", "",
+        ctx,
+    ) == pytest.approx(1 - 0.5 + 2 + 0)
+    # overlap: 2 of 3 link words in terms → (2/3)*2
+    ctx2 = {"terms": {"spark", "engine"}, "is_docs_site": False}
+    got = py_intrinsic_score(
+        "spark engine rocks", "https://a.io/", "", "", "", ctx2
+    )
+    base = 1.0 + 0.5 + 1.0 + 0.5  # depth+https+len+2words... 3 words
+    assert got == pytest.approx(base + (2 / 3) * 2.0)
+    # docs site bonus keys off link text keywords
+    ctx3 = {"terms": set(), "is_docs_site": True}
+    assert py_intrinsic_score(
+        "api reference", "https://docs.a.io/", "", "", "", ctx3
+    ) == pytest.approx(1 + 0.5 + 1 + 0.5 + 1.0)
+
+    html = ('<html><head><title>Spark Engine Docs</title>'
+            '<meta name="description" content="fast data engine"></head>'
+            '<body><h2>engine internals</h2></body></html>')
+    c = py_page_context(parse_html(html), "https://docs.example.com/x")
+    assert c["is_docs_site"]
+    assert {"spark", "engine", "docs", "fast", "data", "internals"} <= \
+        c["terms"]
+
+    # wiring: score_links=True fills intrinsic_score, default leaves 0
+    page = ('<html><head><title>alpha beta</title></head><body>'
+            '<a href="/docs/a" title="long title">alpha guide</a>'
+            '</body></html>')
+    scored = py_scrape_links("https://e.com/p", page, score_links=True)
+    assert scored[0]["intrinsic_score"] > 0
+    plain = py_scrape_links("https://e.com/p", page)
+    assert plain[0]["intrinsic_score"] == 0.0
