@@ -536,7 +536,11 @@ def q_scrape_suite(spark, sf_dir):
 
     n = _docs(spark, sf_dir).count()
     sc = (
-        with_scraped_page(build_html_pages(spark, n), score_links=True)
+        with_scraped_page(
+            build_html_pages(spark, n),
+            score_links=True,
+            table_extraction=True,
+        )
         .select("doc_id", "scraped")
         .persist()
     )
@@ -575,6 +579,24 @@ def q_scrape_suite(spark, sf_dir):
             F.lit(False).alias("flag"),
         )
 
+    tabs = sc.select(
+        "doc_id", F.col("scraped.media.tables").alias("ts")
+    ).select(
+        "doc_id", F.explode("ts").alias("t")
+    ).select(
+        "doc_id", "t", F.posexplode("t.rows").alias("ridx", "r")
+    ).select(
+        "doc_id", F.lit("table").alias("kind"),
+        F.array_join("t.headers", "|").alias("k1"),
+        F.array_join("r", "|").alias("k2"),
+        F.col("t.caption").alias("k3"),
+        F.col("t.table_id").alias("k4"),
+        F.col("ridx").cast("int").alias("n1"),
+        F.col("t.row_count").alias("n2"),
+        F.col("t.column_count").alias("n3"),
+        F.col("t.has_headers").alias("flag"),
+    )
+
     meta = sc.select(
         "doc_id", F.explode("scraped.metadata").alias("k1", "k2")
     ).select(
@@ -588,6 +610,7 @@ def q_scrape_suite(spark, sf_dir):
         links.unionByName(imgs)
         .unionByName(_av("videos", "video"))
         .unionByName(_av("audios", "audio"))
+        .unionByName(tabs)
         .unionByName(meta)
     )
 

@@ -477,9 +477,13 @@ def py_scrape_media(
     image_score_threshold: int = IMAGE_SCORE_THRESHOLD,
     exclude_external_images: bool = False,
     exclude_domains: set[str] | frozenset[str] = frozenset(),
+    table_extraction=None,
 ) -> dict:
-    """{"images": [...], "videos": [...], "audios": [...]} mirroring
-    _process_element's media loops (content_scraping_strategy.py:315-360)."""
+    """{"images": [...], "videos": [...], "audios": [...], "tables":
+    [...]} mirroring _process_element's media loops
+    (content_scraping_strategy.py:315-360) + the table_extraction
+    strategy hook (:861-870; functions/tables.py).  Pass ``True`` for
+    a default-config DefaultTableExtraction."""
     root = parse_html(html)
     base_domain = get_base_domain(url)
     excl = set(exclude_domains)
@@ -500,7 +504,15 @@ def py_scrape_media(
             )
         )
 
-    out = {"images": images, "videos": [], "audios": []}
+    out = {"images": images, "videos": [], "audios": [], "tables": []}
+    if table_extraction:
+        if table_extraction is True:
+            from crawl4ai_spark.functions.tables import (
+                DefaultTableExtraction,
+            )
+
+            table_extraction = DefaultTableExtraction()
+        out["tables"] = table_extraction.extract_tables(root)
     for media_type in ("video", "audio"):
         rows = out[media_type + "s"]
         for el in root.iter(media_type, skip_tags=NON_CONTENT_TAGS):
@@ -594,10 +606,21 @@ _AV_FIELDS = [
     T.StructField("alt", T.StringType()),
     T.StructField("desc", T.StringType()),
 ]
+_TABLE_FIELDS = [
+    T.StructField("headers", T.ArrayType(T.StringType())),
+    T.StructField("rows", T.ArrayType(T.ArrayType(T.StringType()))),
+    T.StructField("caption", T.StringType()),
+    T.StructField("summary", T.StringType()),
+    T.StructField("row_count", T.IntegerType()),
+    T.StructField("column_count", T.IntegerType()),
+    T.StructField("has_headers", T.BooleanType()),
+    T.StructField("table_id", T.StringType()),
+]
 MEDIA_TYPE = T.StructType([
     T.StructField("images", T.ArrayType(T.StructType(_IMAGE_FIELDS))),
     T.StructField("videos", T.ArrayType(T.StructType(_AV_FIELDS))),
     T.StructField("audios", T.ArrayType(T.StructType(_AV_FIELDS))),
+    T.StructField("tables", T.ArrayType(T.StructType(_TABLE_FIELDS))),
 ])
 
 META_TYPE = T.MapType(T.StringType(), T.StringType())
@@ -626,6 +649,7 @@ def _scrape_page_py(url: str, html: str | None, opts: dict) -> dict:
         ),
         exclude_external_images=opts.get("exclude_external_images", False),
         exclude_domains=opts.get("exclude_domains", frozenset()),
+        table_extraction=opts.get("table_extraction"),
     )
     m = py_extract_metadata(html)
     return {
@@ -642,6 +666,19 @@ def _scrape_page_py(url: str, html: str | None, opts: dict) -> dict:
             "audios": [
                 {k: v for k, v in r.items() if k != "type"}
                 for r in media["audios"]
+            ],
+            "tables": [
+                {
+                    "headers": t["headers"],
+                    "rows": t["rows"],
+                    "caption": t["caption"],
+                    "summary": t["summary"],
+                    "row_count": t["metadata"]["row_count"],
+                    "column_count": t["metadata"]["column_count"],
+                    "has_headers": t["metadata"]["has_headers"],
+                    "table_id": t["metadata"].get("id"),
+                }
+                for t in media["tables"]
             ],
         },
         "metadata": {k: v for k, v in m.items() if v is not None},

@@ -147,11 +147,20 @@ def html_col(i: Column, n: int, branching: int = DEFAULT_BRANCHING) -> Column:
                      ".partner.org/p/", si, '">partner ', si, "</a></p>",
                  )).otherwise(F.lit("")))
 
+    table = F.when(i % 8 == 0, _cat(
+        '<table id="t-', si, '"><caption>stats ', si, "</caption>",
+        '<thead><tr><th>k</th><th colspan="2">v</th></tr></thead>',
+        "<tbody><tr><td>a</td><td>", si, "</td><td>",
+        (i % 7).cast("string"), "</td></tr>",
+        "<tr><td>b</td><td>", (i * 2).cast("string"), "</td><td>",
+        (i % 5).cast("string"), "</td></tr></tbody></table>",
+    )).otherwise(F.lit(""))
+
     decoys = _cat(
         '<a href="javascript:void(0)">menu</a>',
         '<a href="mailto:contact@', dom, '">contact</a>',
     )
-    return _cat(head, media, links, decoys, "</body></html>")
+    return _cat(head, media, links, table, decoys, "</body></html>")
 
 
 def build_html_pages(
@@ -289,6 +298,22 @@ def scrape_expected_sql(
       SELECT i, 'audio', '/a/' || i || '.ogg', NULL, 'audio ' || i
       FROM pages WHERE i % 15 = 0
     ),
+    table_rows AS (
+      -- DefaultTableExtraction parity: colspan-expanded headers,
+      -- td-only body rows, caption/id/metadata (table_extraction.py)
+      SELECT i AS doc_id, 'table' AS kind,
+             'k|v|v' AS k1,
+             'a|' || i || '|' || (i % 7) AS k2,
+             'stats ' || i AS k3,
+             't-' || i AS k4,
+             0 AS n1, 2 AS n2, 3 AS n3
+      FROM pages WHERE i % 8 = 0
+      UNION ALL
+      SELECT i, 'table', 'k|v|v',
+             'b|' || (i * 2) || '|' || (i % 5),
+             'stats ' || i, 't-' || i, 1, 2, 3
+      FROM pages WHERE i % 8 = 0
+    ),
     meta_rows AS (
       SELECT i AS doc_id, 'meta' AS kind, 'title' AS k1,
              'doc-' || i || ' [' || sec || ']' AS k2
@@ -311,6 +336,9 @@ def scrape_expected_sql(
     SELECT doc_id, kind, k1, k2, k3, CAST(NULL AS VARCHAR),
            NULL, NULL, NULL, FALSE
     FROM av_rows
+    UNION ALL
+    SELECT doc_id, kind, k1, k2, k3, k4, n1, n2, n3, TRUE
+    FROM table_rows
     UNION ALL
     SELECT doc_id, kind, k1, k2, CAST(NULL AS VARCHAR),
            CAST(NULL AS VARCHAR), NULL, NULL, NULL, FALSE
@@ -369,6 +397,11 @@ def markdown_expected_sql(branching: int = DEFAULT_BRANCHING) -> str:
         || CASE WHEN i % 6 = 0 THEN {nl2} || 'see [partner ' || i
                 || '](https://ext' || (i % 3) || '.partner.org/p/' || i || ')'
            ELSE '' END
+        || CASE WHEN i % 8 = 0 THEN {nl2}
+                || '| k | v |' || {nl} || '|---|---|' || {nl}
+                || '| a | ' || i || ' | ' || (i % 7) || ' |' || {nl}
+                || '| b | ' || (i * 2) || ' | ' || (i % 5) || ' |'
+           ELSE '' END
         || {nl2} || '[menu](javascript:void(0))[contact](mailto:contact@d'
         || dom || '.example.com)'
     """
@@ -385,6 +418,11 @@ def markdown_expected_sql(branching: int = DEFAULT_BRANCHING) -> str:
         || '* anchor ' || i || ' 3⟨5⟩' || {nl}
         || '* dup ' || i || '⟨3⟩'
         || CASE WHEN i % 6 = 0 THEN {nl2} || 'see partner ' || i || '⟨6⟩'
+           ELSE '' END
+        || CASE WHEN i % 8 = 0 THEN {nl2}
+                || '| k | v |' || {nl} || '|---|---|' || {nl}
+                || '| a | ' || i || ' | ' || (i % 7) || ' |' || {nl}
+                || '| b | ' || (i * 2) || ' | ' || (i % 5) || ' |'
            ELSE '' END
         || {nl2} || 'menu⟨' || (6 + CAST(i % 6 = 0 AS INT))
         || '⟩contact⟨' || (7 + CAST(i % 6 = 0 AS INT)) || '⟩'

@@ -229,6 +229,12 @@ def _suite_rows_from_scraped(rows) -> pd.DataFrame:
         for a in s["media"]["audios"]:
             got.append((i, "audio", a["src"], a["alt"], a["desc"],
                         None, None, None, None, False))
+        for t in s["media"]["tables"]:
+            for ridx, r in enumerate(t["rows"]):
+                got.append((i, "table", "|".join(t["headers"]),
+                            "|".join(r), t["caption"], t["table_id"],
+                            ridx, t["row_count"], t["column_count"],
+                            t["has_headers"]))
         for k, v in s["metadata"].items():
             got.append((i, "meta", k, v, None, None, None, None, None,
                         False))
@@ -245,7 +251,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 def test_corpus_scrape_matches_arithmetic_oracle(spark):
     pages = build_html_pages(spark, N)
     rows = (
-        with_scraped_page(pages, score_links=True)
+        with_scraped_page(pages, score_links=True, table_extraction=True)
         .select("doc_id", "scraped")
         .collect()
     )
