@@ -745,10 +745,21 @@ class WebCrawler:
             return res
         out = res.join(self._html, "url", "left")
         if config.scraping_strategy is not None:
-            from crawl4ai_spark.functions.scrape import with_scraped_page
+            from crawl4ai_spark.functions.scrape import (
+                CLEAN_OPT_KEYS,
+                cleaned_html_udf,
+                with_scraped_page,
+            )
 
-            out = with_scraped_page(
-                out, **config.scraping_strategy.options
+            opts = config.scraping_strategy.options
+            out = with_scraped_page(out, **opts)
+            # ScrapingResult.cleaned_html (the _scrap cleaning
+            # pipeline) rides along, honoring the cleaning-tier options
+            out = out.withColumn(
+                "cleaned_html",
+                cleaned_html_udf(
+                    **{k: v for k, v in opts.items() if k in CLEAN_OPT_KEYS}
+                )(F.col("url"), F.col("html")),
             )
         if config.markdown_generator is not None:
             from crawl4ai_spark.functions.markdown import markdown_udf
@@ -759,6 +770,9 @@ class WebCrawler:
                 markdown_udf(
                     citations=True,
                     content_filter=getattr(gen, "content_filter", None),
+                    content_source=getattr(
+                        gen, "content_source", "cleaned_html"
+                    ),
                 )(F.col("url"), F.col("html")),
             )
         return out.drop("html")

@@ -462,11 +462,27 @@ class PruningContentFilter:
 class DefaultMarkdownGenerator:
     """markdown_generation_strategy.py:55-250 composition: raw →
     citations → optional content-filtered fit_markdown, including the
-    '    ```' → '```' post-fix."""
+    '    ```' → '```' post-fix.
 
-    def __init__(self, content_filter=None, options: dict | None = None):
+    ``content_source`` mirrors the reference's input selection
+    (markdown_generation_strategy.py:62-80; applied by the caller in
+    async_webcrawler): "cleaned_html" (the reference default — the
+    _scrap cleaning pipeline runs first, functions/scrape.py:
+    py_cleaned_html) or "raw_html"."""
+
+    def __init__(
+        self,
+        content_filter=None,
+        options: dict | None = None,
+        content_source: str = "cleaned_html",
+    ):
         self.content_filter = content_filter
         self.options = options or {}
+        if content_source not in ("cleaned_html", "raw_html"):
+            raise ValueError(
+                f"unknown content_source: {content_source!r}"
+            )
+        self.content_source = content_source
 
     def generate_markdown(
         self,
@@ -475,6 +491,10 @@ class DefaultMarkdownGenerator:
         citations: bool = True,
         content_filter=None,
     ) -> dict:
+        if self.content_source == "cleaned_html":
+            from crawl4ai_spark.functions.scrape import py_cleaned_html
+
+            input_html = py_cleaned_html(base_url, input_html)
         raw_markdown = html_to_markdown(input_html)
         raw_markdown = raw_markdown.replace("    ```", "```")
         markdown_with_citations = raw_markdown
@@ -514,14 +534,16 @@ MARKDOWN_TYPE = T.StructType([
 def markdown_udf(
     citations: bool = True,
     content_filter: PruningContentFilter | None = None,
+    content_source: str = "cleaned_html",
 ):
     """(url, html) → markdown result struct; one parse + one Python
     crossing per page, like every HTML-tier UDF."""
     flt = content_filter
+    src = content_source
 
     @F.pandas_udf(MARKDOWN_TYPE)
     def _udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
-        gen = DefaultMarkdownGenerator(content_filter=flt)
+        gen = DefaultMarkdownGenerator(content_filter=flt, content_source=src)
         rows = []
         for u, h in zip(url, html):
             r = gen.generate_markdown(h or "", u or "", citations=citations)
@@ -548,11 +570,12 @@ def with_markdown(
     html_col: str = "html",
     citations: bool = True,
     content_filter: PruningContentFilter | None = None,
+    content_source: str = "cleaned_html",
     out_col: str = "markdown",
 ) -> DataFrame:
     return df.withColumn(
         out_col,
-        markdown_udf(citations, content_filter)(
+        markdown_udf(citations, content_filter, content_source)(
             F.col(url_col), F.col(html_col)
         ),
     )

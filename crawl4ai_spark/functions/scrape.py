@@ -903,3 +903,193 @@ def scraped_pages(
         F.col("status_code"),
         links.alias("links"),
     )
+
+
+# -- cleaned_html (the _scrap cleaning pipeline) -----------------------------
+
+# config.py:51-74 — parity data tables
+IMPORTANT_ATTRS = (
+    "src", "href", "alt", "title", "width", "height", "class", "id",
+    "rowspan", "colspan",
+)
+ONLY_TEXT_ELIGIBLE_TAGS = (
+    "b", "i", "u", "span", "del", "ins", "sub", "sup", "strong", "em",
+    "code", "kbd", "var", "s", "q", "abbr", "cite", "dfn", "time",
+    "small", "mark",
+)
+_EMPTY_BYPASS_TAGS = frozenset(
+    "a img br hr input meta link source track wbr tr td th".split()
+)  # content_scraping_strategy.py:522-536
+_BASE64_RE = __import__("re").compile(r'data:image/[^;]+;base64,([^"]+)')
+
+
+def _clone(node: Node, parent=None) -> Node:
+    c = Node(node.tag, dict(node.attrs), parent=parent)
+    c.children = [
+        ch if isinstance(ch, str) else _clone(ch, c) for ch in node.children
+    ]
+    return c
+
+
+def _remove_node(el: Node) -> None:
+    if el.parent is not None and el in el.parent.children:
+        el.parent.children.remove(el)
+
+
+CLEAN_OPT_KEYS = frozenset({
+    "excluded_tags", "excluded_selector", "css_selector",
+    "target_elements", "only_text", "remove_forms",
+    "exclude_all_images", "keep_data_attributes", "word_count_threshold",
+})
+
+
+def py_cleaned_html(
+    url: str,
+    html: str | None,
+    *,
+    excluded_tags: tuple | list = (),
+    excluded_selector: str | None = None,
+    css_selector: str | None = None,
+    target_elements: list | None = None,
+    only_text: bool = False,
+    remove_forms: bool = False,
+    exclude_all_images: bool = False,
+    keep_data_attributes: bool = False,
+    word_count_threshold: int = 1,
+) -> str:
+    """``cleaned_html`` parity — the _scrap cleaning pipeline
+    (content_scraping_strategy.py:615-905) in reference order:
+    exclude_all_images → excluded_tags → excluded_selector →
+    css_selector / target_elements content capture (DEEPCOPIED BEFORE
+    later cleaning, so a css-selected content element keeps its
+    styles/attributes — the reference's own behavior) → style/link/
+    meta/noscript/script removal → remove_forms → only_text span
+    replacement → base64 src cleanup → bottom-up empty-element removal
+    (word_count_threshold=1 at the call site) → attribute stripping to
+    IMPORTANT_ATTRS (+data-* when kept).
+
+    Divergence, documented: serialization is functions/extract.node_html
+    (compact), not lxml ``tostring(pretty_print=True)`` — structural
+    parity, not byte formatting (lxml is not in this container).
+    Mermaid-SVG placeholdering (:736-790) is out of scope (no mermaid
+    in the crawl tier's corpora)."""
+    from crawl4ai_spark.functions.extract import css_select, node_html
+
+    root = parse_html(html)
+    body = root
+
+    if exclude_all_images:
+        for img in list(body.iter("img")):
+            _remove_node(img)
+    for tag in excluded_tags or ():
+        for el in list(body.iter(tag)):
+            _remove_node(el)
+    if excluded_selector:
+        try:
+            for el in css_select(body, excluded_selector):
+                _remove_node(el)
+        except ValueError:
+            pass  # reference logs and continues (:688-691)
+
+    content: Node | None = None
+    if css_selector:
+        try:
+            selected = css_select(body, css_selector)
+        except ValueError:
+            selected = []
+        if selected:
+            content = Node("div")
+            content.children = [_clone(n, content) for n in selected]
+        else:
+            content = body
+    if target_elements:
+        source = content if content is not None else body
+        found: list[Node] = []
+        for t in target_elements:
+            try:
+                found.extend(css_select(source, t))
+            except ValueError:
+                return ""
+        content = Node("div")
+        content.children = [_clone(n, content) for n in found]
+    elif content is None:
+        content = body
+
+    # style/link/meta/noscript/script removal; sibling text survives by
+    # construction in this DOM (the reference splices script tails)
+    for tag in ("style", "link", "meta", "noscript", "script"):
+        for el in list(body.iter(tag)):
+            _remove_node(el)
+    if remove_forms:
+        for el in list(body.iter("form")):
+            _remove_node(el)
+
+    if only_text:
+        for tag in ONLY_TEXT_ELIGIBLE_TAGS:
+            for el in list(body.iter(tag)):
+                if el.parent is None:
+                    continue
+                span = Node("span", parent=el.parent)
+                span.children = [el.text_content()]
+                try:
+                    idx = el.parent.children.index(el)
+                    el.parent.children[idx] = span
+                except ValueError:
+                    pass
+
+    for img in body.iter("img"):
+        src = img.get("src") or ""
+        if _BASE64_RE.match(src):
+            img.attrs["src"] = _BASE64_RE.sub("", src)
+
+    # bottom-up empty-element removal (:517-577)
+    for el in reversed(list(body.iter())):
+        if el.tag in _EMPTY_BYPASS_TAGS:
+            continue
+        if any(a.tag in ("pre", "code") for a in el.ancestors()):
+            continue
+        text = el.text_content().strip()
+        has_child_elements = any(
+            isinstance(c, Node) for c in el.children
+        )
+        if len(text.split()) < word_count_threshold and not has_child_elements:
+            _remove_node(el)
+
+    # attribute stripping (:578-613)
+    keep = set(IMPORTANT_ATTRS)
+    for el in [body, *body.iter()]:
+        el.attrs = {
+            k: v
+            for k, v in el.attrs.items()
+            if k in keep
+            or (keep_data_attributes and k.startswith("data-"))
+        }
+
+    if content.tag == "#document":
+        out = "".join(
+            node_html(c) if isinstance(c, Node) else c
+            for c in content.children
+        )
+    else:
+        out = node_html(content)
+    return out.strip()
+
+
+@F.pandas_udf(T.StringType())
+def _cleaned_html_default_udf(url: pd.Series, html: pd.Series) -> pd.Series:
+    return pd.Series([py_cleaned_html(u, h) for u, h in zip(url, html)])
+
+
+def cleaned_html_udf(**opts):
+    """(url, html) → cleaned_html string; Arrow-batched."""
+    if not opts:
+        return _cleaned_html_default_udf
+    frozen = dict(opts)
+
+    @F.pandas_udf(T.StringType())
+    def _udf(url: pd.Series, html: pd.Series) -> pd.Series:
+        return pd.Series([
+            py_cleaned_html(u, h, **frozen) for u, h in zip(url, html)
+        ])
+
+    return _udf

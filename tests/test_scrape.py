@@ -331,3 +331,48 @@ def test_intrinsic_score_reference_parity():
     assert scored[0]["intrinsic_score"] > 0
     plain = py_scrape_links("https://e.com/p", page)
     assert plain[0]["intrinsic_score"] == 0.0
+
+
+def test_cleaned_html_pipeline():
+    """py_cleaned_html vs the _scrap cleaning pipeline
+    (content_scraping_strategy.py:615-905): removals, only_text,
+    base64 cleanup, empty-element pruning, attribute stripping, and
+    the deepcopy-before-cleaning css_selector quirk."""
+    from crawl4ai_spark.functions.scrape import py_cleaned_html
+
+    html = """<html><head><title>t</title><style>.x{}</style></head><body>
+<nav class="topnav" style="color:red" onclick="x()">menu items here</nav>
+<div><p>Real paragraph with several words.</p><span></span></div>
+<img src="data:image/png;base64,AAAA" alt="inline">
+<b>bold words</b>
+<form><input name="q"></form>
+<script>var x=1;</script>
+</body></html>"""
+    out = py_cleaned_html("u", html)
+    # style/script gone; style/onclick attrs stripped, class kept
+    assert "<style>" not in out and "var x" not in out
+    assert 'class="topnav"' in out and "onclick" not in out
+    # base64 src emptied; empty span pruned; form survives by default
+    assert 'src=""' in out and "<span>" not in out
+    assert "<form>" in out and 'name="q"' not in out  # name not important
+
+    opts = py_cleaned_html(
+        "u", html, excluded_tags=("nav",), only_text=True,
+        remove_forms=True,
+    )
+    assert "topnav" not in opts and "<form>" not in opts
+    assert "<span>bold words</span>" in opts  # only_text b→span
+
+    # css_selector: selected content is DEEPCOPIED before cleaning, so
+    # it keeps what body-side cleaning would remove (reference quirk)
+    sel = py_cleaned_html("u", html, css_selector="div")
+    assert sel.startswith("<div>") and "<span></span>" in sel
+
+    # target_elements compose with word_count pruning
+    tgt = py_cleaned_html("u", html, target_elements=["p"])
+    assert tgt == "<div><p>Real paragraph with several words.</p></div>"
+
+    # empty-element threshold: 3-word floor prunes short blocks
+    short = "<html><body><div>tiny</div><p>longer text here ok</p></body></html>"
+    pruned = py_cleaned_html("u", short, word_count_threshold=3)
+    assert "tiny" not in pruned and "longer text" in pruned
