@@ -185,3 +185,44 @@ def per_domain_rates(results_stream: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("succeeded"),
         )
     )
+
+
+HTML_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("html", T.StringType()),
+    ]
+)
+
+
+def stream_scrape_pages(
+    spark: SparkSession,
+    pages_dir: str,
+    markdown: bool = False,
+    **scrape_opts,
+) -> DataFrame:
+    """readStream over a fetched-HTML parquet directory → the HTML-tier
+    content extraction as a live tail: each micro-batch of fetched
+    pages is scraped (links/media/metadata struct; optional markdown)
+    exactly like the batch path — the Arrow UDFs are stateless per
+    page, so the streaming plan IS the batch plan under a streaming
+    scan (r5).  At scale this is the always-on "parse fetched pages as
+    they land in the Iceberg table" query downstream of the crawler."""
+    from crawl4ai_spark.functions.markdown import markdown_udf
+    from crawl4ai_spark.functions.scrape import scrape_page_udf
+
+    stream = (
+        spark.readStream.schema(HTML_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(_as_stream_dir(pages_dir))
+    )
+    out = stream.withColumn(
+        "scraped",
+        scrape_page_udf(**scrape_opts)(F.col("url"), F.col("html")),
+    )
+    if markdown:
+        out = out.withColumn(
+            "markdown", markdown_udf()(F.col("url"), F.col("html"))
+        )
+    return out.drop("html")

@@ -62,3 +62,40 @@ def test_crawl_snapshot_tail(spark, tmp_path):
     # every frontier row carries a d*.example.com URL
     assert rows and all(r["domain"].endswith("example.com") for r in rows)
     assert sum(r["fetched"] for r in rows) > 0
+
+
+def test_stream_scrape_pages(spark, tmp_path):
+    """HTML-tier extraction under a streaming scan (r5): the scraped
+    link/metadata output of the streaming query equals the batch
+    scrape of the same pages."""
+    from crawl4ai_spark.functions.scrape import with_scraped_page
+    from crawl4ai_spark.sources.html_corpus import build_html_pages
+    from crawl4ai_spark.streaming.windowed import (
+        run_available_now,
+        stream_scrape_pages,
+    )
+
+    pages = build_html_pages(spark, 40).select("doc_id", "url", "html")
+    d = str(tmp_path / "html_pages")
+    pages.repartition(4).write.parquet(d)
+
+    out = stream_scrape_pages(spark, d, markdown=True)
+    run_available_now(out, "scraped_stream")
+    got = spark.table("scraped_stream")
+    assert got.count() == 40
+    batch = with_scraped_page(pages).select(
+        "doc_id",
+        F.size("scraped.links").alias("n_links"),
+        F.col("scraped.metadata")["title"].alias("title"),
+    )
+    stream_side = got.select(
+        "doc_id",
+        F.size("scraped.links").alias("n_links"),
+        F.col("scraped.metadata")["title"].alias("title"),
+    )
+    a = {(r["doc_id"], r["n_links"], r["title"]) for r in batch.collect()}
+    b = {(r["doc_id"], r["n_links"], r["title"])
+         for r in stream_side.collect()}
+    assert a == b
+    md = got.select("markdown.raw_markdown").limit(1).collect()
+    assert md[0]["raw_markdown"].startswith("# doc-")
