@@ -25,8 +25,9 @@ both selector engines are implemented here over the shared DOM-lite
 tree (functions/html_dom.py):
 
 - CSS subset: compound selectors (``tag``, ``.class``, ``#id``,
-  ``[attr]``, ``[attr=val]``), descendant and ``>`` combinators,
-  ``,`` groups — the subset the reference's own docs/test schemas use.
+  ``[attr]``, ``[attr=val]`` plus the ``^=``/``$=``/``*=``/``~=``
+  operators), descendant and ``>`` combinators, ``,`` groups — the
+  subset the reference's own docs/test schemas use.
 - XPath subset: ``//`` and ``/`` steps, ``*`` wildcard, ``[@attr]`` /
   ``[@attr='v']`` / positional ``[n]`` predicates — matching the
   output of the reference's ``_basic_css_to_xpath`` plus the
@@ -63,7 +64,7 @@ _COMPOUND_RE = re.compile(
     (?P<rest>(?:
         \.[\w-]+ |
         \#[\w-]+ |
-        \[[\w-]+(?:=(?:"[^"]*"|'[^']*'|[^\]]*))?\]
+        \[[\w-]+(?:[~^$*]?=(?:"[^"]*"|'[^']*'|[^\]]*))?\]
     )*)
     $"""
 )
@@ -76,7 +77,7 @@ def _parse_compound(tok: str):
     tag = m.group("tag")
     conds = []
     for part in re.findall(
-        r"\.[\w-]+|\#[\w-]+|\[[\w-]+(?:=(?:\"[^\"]*\"|'[^']*'|[^\]]*))?\]",
+        r"\.[\w-]+|\#[\w-]+|\[[\w-]+(?:[~^$*]?=(?:\"[^\"]*\"|'[^']*'|[^\]]*))?\]",
         m.group("rest") or "",
     ):
         if part.startswith("."):
@@ -85,10 +86,15 @@ def _parse_compound(tok: str):
             conds.append(("id", part[1:]))
         else:
             inner = part[1:-1]
-            if "=" in inner:
-                a, v = inner.split("=", 1)
-                v = v.strip("\"'")
-                conds.append(("attr_eq", (a, v)))
+            mm = re.match(r"([\w-]+)([~^$*]?=)(.*)$", inner, re.S)
+            if mm:
+                a, op, v = mm.group(1), mm.group(2), mm.group(3).strip("\"'")
+                kind = {
+                    "=": "attr_eq", "^=": "attr_prefix",
+                    "$=": "attr_suffix", "*=": "attr_contains",
+                    "~=": "attr_word",
+                }[op]
+                conds.append((kind, (a, v)))
             else:
                 conds.append(("attr", inner))
     return tag, conds
@@ -106,8 +112,25 @@ def _matches_compound(node: Node, tag, conds) -> bool:
             return False
         if kind == "attr" and node.get(arg) is None:
             return False
-        if kind == "attr_eq" and node.get(arg[0]) != arg[1]:
-            return False
+        if kind.startswith("attr_"):
+            val = node.get(arg[0])
+            if val is None:
+                return False
+            want = arg[1]
+            if kind == "attr_eq" and val != want:
+                return False
+            if kind == "attr_prefix" and not (
+                want and val.startswith(want)
+            ):
+                return False
+            if kind == "attr_suffix" and not (
+                want and val.endswith(want)
+            ):
+                return False
+            if kind == "attr_contains" and not (want and want in val):
+                return False
+            if kind == "attr_word" and want not in val.split():
+                return False
     return True
 
 

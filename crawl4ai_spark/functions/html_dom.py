@@ -108,6 +108,33 @@ class Node:
         return (self.get("class") or "").split()
 
 
+# HTML5-style implicit end tags (the recovery lxml/browsers apply that
+# a bare event parser does not): starting <li> closes an open <li>,
+# table parts close each other, a block start closes an open <p> — so
+# real-web `<li>a<li>b` markup yields SIBLINGS, not a nesting chain.
+_CLOSES_ON_START = {
+    "li": frozenset({"li"}),
+    "p": frozenset({"p"}),
+    "dt": frozenset({"dt", "dd"}),
+    "dd": frozenset({"dt", "dd"}),
+    "tr": frozenset({"tr", "td", "th"}),
+    "td": frozenset({"td", "th"}),
+    "th": frozenset({"td", "th"}),
+    "thead": frozenset({"tr", "td", "th", "tbody"}),
+    "tbody": frozenset({"tr", "td", "th", "thead"}),
+    "tfoot": frozenset({"tr", "td", "th", "tbody"}),
+    "option": frozenset({"option"}),
+    "optgroup": frozenset({"option", "optgroup"}),
+}
+
+# block-level starts that implicitly close an open <p>
+_P_CLOSERS = frozenset(
+    "address article aside blockquote details div dl fieldset figure "
+    "figcaption footer form h1 h2 h3 h4 h5 h6 header hr main nav ol "
+    "pre section table ul".split()
+)
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__()  # convert_charrefs=True: entities decoded
@@ -117,6 +144,12 @@ class _TreeBuilder(HTMLParser):
     # -- element events ------------------------------------------------------
 
     def handle_starttag(self, tag, attrs):
+        closes = _CLOSES_ON_START.get(tag)
+        if closes:
+            while len(self.stack) > 1 and self.stack[-1].tag in closes:
+                self.stack.pop()
+        if tag in _P_CLOSERS and self.stack[-1].tag == "p":
+            self.stack.pop()
         # first attr occurrence wins, like lxml
         amap: dict[str, str] = {}
         for k, v in attrs:

@@ -184,3 +184,19 @@ def test_spark_typed_and_json_modes(spark):
     )
     parsed = [json.loads(r["j"]) for r in js]
     assert parsed[0]["pid"] == "p1" and "link" not in parsed[1]
+
+
+def test_attribute_operators():
+    """soupsieve attribute operators the reference's selectors lean on:
+    ^= prefix, $= suffix, *= substring, ~= whitespace-word."""
+    root = parse_html(
+        '<div><a href="https://a.io/docs/x.pdf" rel="nofollow external">d</a>'
+        '<a href="/local/y.html" rel="external">l</a></div>'
+    )
+    assert len(css_select(root, 'a[href^="https://"]')) == 1
+    assert len(css_select(root, 'a[href$=".pdf"]')) == 1
+    assert len(css_select(root, 'a[href*="local"]')) == 1
+    assert len(css_select(root, 'a[rel~="external"]')) == 2
+    assert len(css_select(root, 'a[rel~="nofollow"]')) == 1
+    assert css_select(root, 'a[rel~="follow"]') == []
+    assert css_select(root, 'a[href^="ftp"]') == []

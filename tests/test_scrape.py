@@ -376,3 +376,34 @@ def test_cleaned_html_pipeline():
     short = "<html><body><div>tiny</div><p>longer text here ok</p></body></html>"
     pruned = py_cleaned_html("u", short, word_count_threshold=3)
     assert "tiny" not in pruned and "longer text" in pruned
+
+
+def test_dom_implicit_close_recovery():
+    """Real-web malformed markup: unclosed <li>/<p>/table cells become
+    SIBLINGS (browser/lxml recovery), not a nesting chain — so link
+    texts and table rows extract correctly from tag-soup pages."""
+    from crawl4ai_spark.functions.html_dom import parse_html
+    from crawl4ai_spark.functions.tables import DefaultTableExtraction
+
+    soup = """<html><body>
+    <ul><li><a href="/a">first</a><li><a href="/b">second</a></ul>
+    <p>one<p>two
+    <table><tr><td>x<td>y<tr><td>z<td>w</table>
+    </body></html>"""
+    links = py_scrape_links("https://e.com/", soup)
+    # nested-li parsing would glue 'second' into the first anchor text
+    assert [(l["href"], l["text"]) for l in links] == [
+        ("https://e.com/a", "first"), ("https://e.com/b", "second"),
+    ]
+    root = parse_html(soup)
+    ul = root.find("ul")
+    assert sum(
+        1 for c in ul.children if not isinstance(c, str) and c.tag == "li"
+    ) == 2
+    ps = list(root.iter("p"))
+    assert [p.text_content().strip() for p in ps][:2] == ["one", "two"]
+    # tag-soup table still yields 2x2 rows
+    (t,) = DefaultTableExtraction(table_score_threshold=4).extract_tables(
+        root
+    )
+    assert t["rows"] == [["x", "y"], ["z", "w"]]
