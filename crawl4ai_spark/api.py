@@ -172,6 +172,57 @@ class WebScrapingStrategy:
     def __init__(self, **options):
         self.options = dict(options)
 
+    def scrap(self, url: str, html: str, **kwargs) -> dict:
+        """Single-page ``ScrapingResult`` parity
+        (content_scraping_strategy.py:93-95, models.ScrapingResult):
+        {cleaned_html, success, media{images,videos,audios,tables},
+        links{internal,external}, metadata} — the strategy's direct
+        entry point, for reference call sites that scrape one page
+        outside a crawl.  Batch work should use the Column surface
+        (functions/scrape.with_scraped_page) instead."""
+        from crawl4ai_spark.functions.scrape import (
+            CLEAN_OPT_KEYS,
+            py_cleaned_html,
+            py_extract_metadata,
+            py_scrape_links,
+            py_scrape_media,
+        )
+
+        opts = {**self.options, **kwargs}
+        links = py_scrape_links(
+            url, html,
+            exclude_external_links=opts.get("exclude_external_links", False),
+            exclude_domains=opts.get("exclude_domains", frozenset()),
+            exclude_social_media_links=opts.get(
+                "exclude_social_media_links", False
+            ),
+            score_links=opts.get("score_links", False),
+        )
+        media = py_scrape_media(
+            url, html,
+            image_score_threshold=opts.get("image_score_threshold", 2),
+            exclude_external_images=opts.get(
+                "exclude_external_images", False
+            ),
+            exclude_domains=opts.get("exclude_domains", frozenset()),
+            table_extraction=opts.get("table_extraction"),
+        )
+        return {
+            "cleaned_html": py_cleaned_html(
+                url, html,
+                **{k: v for k, v in opts.items() if k in CLEAN_OPT_KEYS},
+            ),
+            "success": True,
+            "media": media,
+            "links": {
+                "internal": [
+                    l for l in links if not l["is_external"]
+                ],
+                "external": [l for l in links if l["is_external"]],
+            },
+            "metadata": py_extract_metadata(html),
+        }
+
 
 # ctor-name parity for reference call sites; same implementation
 LXMLWebScrapingStrategy = WebScrapingStrategy

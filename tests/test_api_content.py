@@ -94,3 +94,28 @@ def test_batch_path_content_and_links_corpus_guard(spark, html_pages):
             corpus.py_canonical_url(1),
             CrawlerRunConfig(markdown_generator=DefaultMarkdownGenerator()),
         )
+
+
+def test_scraping_strategy_scrap_entry_point():
+    """Reference call-site parity: strategy.scrap(url, html) returns
+    the ScrapingResult shape with internal/external link split."""
+    html = """<html><head><title>T</title></head><body>
+    <div>ctx words<img src="/i.png" width="200" height="200" alt="a"></div>
+    <a href="/in">in</a><a href="https://other.org/x">out</a>
+    <script>junk()</script></body></html>"""
+    r = LXMLWebScrapingStrategy().scrap("https://e.com/p", html)
+    assert r["success"]
+    assert [l["href"] for l in r["links"]["internal"]] == [
+        "https://e.com/in"
+    ]
+    assert [l["href"] for l in r["links"]["external"]] == [
+        "https://other.org/x"
+    ]
+    assert r["media"]["images"][0]["src"] == "/i.png"
+    assert r["metadata"]["title"] == "T"
+    assert "junk" not in r["cleaned_html"]
+    # per-call kwargs override ctor options
+    r2 = WebScrapingStrategy().scrap(
+        "https://e.com/p", html, exclude_external_links=True
+    )
+    assert r2["links"]["external"] == []
