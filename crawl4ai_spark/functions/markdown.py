@@ -579,3 +579,309 @@ def with_markdown(
             F.col(url_col), F.col(html_col)
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25ContentFilter (reference-exact scoring, stemming optional)
+# ---------------------------------------------------------------------------
+
+# utils.py:2565-2791 — parity data tables
+_CLEAN_NOISE = {
+    "ccp", "up", "↑", "▲", "⬆️", "a", "an", "at", "by", "in", "of",
+    "on", "to", "the",
+}
+_CLEAN_STOP_WORDS = {
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "has", "he", "in", "is", "it", "its", "of", "on", "that", "the",
+    "to", "was", "were", "will", "with",
+    "i", "you", "she", "we", "they", "me", "him", "her", "us", "them",
+    "my", "your", "his", "our", "their", "mine", "yours", "hers",
+    "ours", "theirs", "myself", "yourself", "himself", "herself",
+    "itself", "ourselves", "themselves",
+    "am", "been", "being", "have", "had", "having", "do", "does",
+    "did", "doing",
+    "about", "above", "across", "after", "against", "along", "among",
+    "around", "before", "behind", "below", "beneath", "beside",
+    "between", "beyond", "down", "during", "except", "inside", "into",
+    "near", "off", "out", "outside", "over", "past", "through",
+    "toward", "under", "underneath", "until", "upon", "within",
+    "but", "or", "nor", "yet", "so", "although", "because", "since",
+    "unless",
+    "this", "these", "those", "what", "which", "who", "whom", "whose",
+    "when", "where", "why", "how", "all", "any", "both", "each",
+    "few", "more", "most", "other", "some", "such", "can", "cannot",
+    "can't", "could", "couldn't", "may", "might", "must", "mustn't",
+    "shall", "should", "shouldn't", "won't", "would", "wouldn't",
+    "not", "n't", "no", "none",
+}
+
+
+def clean_tokens(tokens: list[str]) -> list[str]:
+    """utils.py:2565-2791 parity: len>2, noise/stop-word removal,
+    arrow-prefix removal."""
+    return [
+        t for t in tokens
+        if len(t) > 2
+        and t not in _CLEAN_NOISE
+        and t not in _CLEAN_STOP_WORDS
+        and not t.startswith(("↑", "▲", "⬆"))
+    ]
+
+
+def bm25_okapi_scores(
+    corpus: list[list[str]],
+    query: list[str],
+    k1: float = 1.5,
+    b: float = 0.75,
+    epsilon: float = 0.25,
+) -> list[float]:
+    """Pure-Python mirror of the public rank_bm25 ``BM25Okapi``
+    (the package is not in this container): ln((N-df+0.5)/(df+0.5))
+    idf with the epsilon·avg-idf floor for negative idfs, standard
+    Okapi tf saturation — the same semantics sources/seeder.py mirrors
+    in SQL/Column form."""
+    n = len(corpus)
+    if n == 0:
+        return []
+    doc_lens = [len(d) for d in corpus]
+    avgdl = sum(doc_lens) / n if n else 0.0
+    freqs = [dict() for _ in corpus]
+    df: dict[str, int] = {}
+    for i, doc in enumerate(corpus):
+        f = freqs[i]
+        for w in doc:
+            f[w] = f.get(w, 0) + 1
+        for w in f:
+            df[w] = df.get(w, 0) + 1
+    idf: dict[str, float] = {}
+    negative = []
+    idf_sum = 0.0
+    for w, d in df.items():
+        v = math.log(n - d + 0.5) - math.log(d + 0.5)
+        idf[w] = v
+        idf_sum += v
+        if v < 0:
+            negative.append(w)
+    avg_idf = idf_sum / len(idf) if idf else 0.0
+    floor = epsilon * avg_idf
+    for w in negative:
+        idf[w] = floor
+    scores = []
+    for i in range(n):
+        s = 0.0
+        dl = doc_lens[i]
+        denom_norm = k1 * (1 - b + b * dl / avgdl) if avgdl else k1
+        for q in query:
+            f = freqs[i].get(q, 0)
+            if not f:
+                continue
+            s += idf.get(q, 0.0) * (f * (k1 + 1)) / (f + denom_norm)
+        scores.append(s)
+    return scores
+
+
+_BM25_INLINE_TAGS = frozenset({
+    "a", "abbr", "acronym", "b", "bdo", "big", "br", "button", "cite",
+    "code", "dfn", "em", "i", "img", "input", "kbd", "label", "map",
+    "object", "q", "samp", "script", "select", "small", "span",
+    "strong", "sub", "sup", "textarea", "time", "tt", "var",
+})  # content_filter_strategy.py:174-207
+_BM25_HEADER_TAGS = frozenset(
+    {"h1", "h2", "h3", "h4", "h5", "h6", "header"}
+)
+_CLEAN_EL_UNWANTED_TAGS = frozenset(
+    {"script", "style", "aside", "form", "iframe", "noscript"}
+)
+_CLEAN_EL_UNWANTED_ATTRS = frozenset(
+    {"style", "onclick", "onmouseover", "align", "bgcolor", "class", "id"}
+)
+
+
+def extract_page_query(root: Node, body: Node, user_query=None) -> str:
+    """RelevantContentFilter.extract_page_query parity
+    (content_filter_strategy.py:125-159): title → h1 → meta
+    keywords/description → first long <p> fallback."""
+    if user_query:
+        return user_query
+    parts: list[str] = []
+    t = root.find("title")
+    if t is not None and t.text:
+        parts.append(t.text)
+    h1 = root.find("h1")
+    if h1 is not None:
+        parts.append(h1.text_content())
+    temp = ""
+    for meta_name in ("keywords", "description"):
+        for m in root.iter("meta"):
+            if m.get("name") == meta_name and m.get("content"):
+                parts.append(m.get("content"))
+                temp += m.get("content")
+                break
+    if not temp:
+        for p in body.iter("p"):
+            text = p.text_content()
+            if len(text) > 150:
+                parts.append(text[:150])
+                break
+    return " ".join(filter(None, parts))
+
+
+def extract_text_chunks(
+    body: Node, min_word_threshold: int | None = None
+) -> list[tuple]:
+    """RelevantContentFilter.extract_text_chunks parity
+    (content_filter_strategy.py:161-268): iterative DFS; inline tags
+    never break the running chunk, block ends flush it tagged
+    header/content; stripped strings GLUE without separators exactly
+    as the reference's ''.join does."""
+    chunks: list[tuple] = []
+    current_text: list[str] = []
+    chunk_index = 0
+
+    def should_break(el: Node) -> bool:
+        return el.tag not in _BM25_INLINE_TAGS and not (
+            el.tag == "p" and len(current_text) == 0
+        )
+
+    stack: list[tuple] = [(body, False)]
+    while stack:
+        element, visited = stack.pop()
+        if visited:
+            if current_text and should_break(element):
+                text = " ".join("".join(current_text).split())
+                if text:
+                    tag_type = (
+                        "header"
+                        if element.tag in _BM25_HEADER_TAGS
+                        else "content"
+                    )
+                    chunks.append((chunk_index, text, tag_type, element))
+                    chunk_index += 1
+                current_text = []
+            continue
+        if isinstance(element, str):
+            if element.strip():
+                current_text.append(element.strip())
+            continue
+        if not element.children:
+            continue
+        stack.append((element, True))
+        for child in reversed(element.children):
+            stack.append((child, False))
+    if current_text:
+        text = " ".join("".join(current_text).split())
+        if text:
+            chunks.append((chunk_index, text, "content", body))
+    if min_word_threshold:
+        chunks = [
+            c for c in chunks if len(c[1].split()) >= min_word_threshold
+        ]
+    return chunks
+
+
+def clean_element(tag: Node) -> str:
+    """RelevantContentFilter.clean_element parity
+    (content_filter_strategy.py:329-377): skip unwanted tags, drop
+    unwanted attrs, STRIPPED text pieces (no re-escaping, glued —
+    the reference's string-builder does exactly this)."""
+    builder: list[str] = []
+
+    def render(el) -> None:
+        if isinstance(el, str):
+            builder.append(el.strip())
+            return
+        if el.tag in _CLEAN_EL_UNWANTED_TAGS:
+            return
+        builder.append(f"<{el.tag}")
+        for k, v in el.attrs.items():
+            if k not in _CLEAN_EL_UNWANTED_ATTRS:
+                builder.append(f' {k}="{v}"')
+        builder.append(">")
+        for child in el.children:
+            render(child)
+        builder.append(f"</{el.tag}>")
+
+    render(tag)
+    return "".join(builder)
+
+
+class BM25ContentFilter:
+    """content_filter_strategy.py:380-540 parity: page query with
+    fallbacks, ordered text chunks, BM25Okapi scoring, priority-tag
+    boosts, threshold + document-order + text dedupe, clean_element
+    serialization.
+
+    Divergence, documented: ``use_stemming`` defaults to False here
+    (the reference defaults True via snowballstemmer, which this
+    container does not ship); pass any ``str -> str`` callable as
+    ``stemmer`` to restore stemmed matching."""
+
+    PRIORITY_TAGS = {
+        "h1": 5.0, "h2": 4.0, "h3": 3.0, "title": 4.0, "strong": 2.0,
+        "b": 1.5, "em": 1.5, "blockquote": 2.0, "code": 2.0,
+        "pre": 1.5, "th": 1.5,
+    }
+
+    def __init__(
+        self,
+        user_query: str | None = None,
+        bm25_threshold: float = 1.0,
+        use_stemming: bool = False,
+        stemmer=None,
+    ):
+        self.user_query = user_query
+        self.bm25_threshold = bm25_threshold
+        if use_stemming and stemmer is None:
+            raise ValueError(
+                "use_stemming needs a stemmer callable "
+                "(snowballstemmer is not available in this environment)"
+            )
+        self.stemmer = stemmer if use_stemming else None
+
+    def filter_content(
+        self, html: str | None, min_word_threshold: int | None = None
+    ) -> list[str]:
+        if not html or not isinstance(html, str):
+            return []
+        root = parse_html(html)
+        body = root.find("body")
+        if body is None:
+            root = parse_html(f"<body>{html}</body>")
+            body = root.find("body")
+        query = extract_page_query(root, body, self.user_query)
+        if not query:
+            return []
+        candidates = extract_text_chunks(body, min_word_threshold)
+        if not candidates:
+            return []
+        if self.stemmer is not None:
+            corpus = [
+                [self.stemmer(w) for w in chunk.lower().split()]
+                for _, chunk, _, _ in candidates
+            ]
+            q_tokens = [self.stemmer(w) for w in query.lower().split()]
+        else:
+            corpus = [
+                chunk.lower().split() for _, chunk, _, _ in candidates
+            ]
+            q_tokens = query.lower().split()
+        corpus = [clean_tokens(t) for t in corpus]
+        q_tokens = clean_tokens(q_tokens)
+        scores = bm25_okapi_scores(corpus, q_tokens)
+        selected = []
+        for score, (index, chunk, _tag_type, tag) in zip(
+            scores, candidates
+        ):
+            adjusted = score * self.PRIORITY_TAGS.get(tag.tag, 1.0)
+            if adjusted >= self.bm25_threshold:
+                selected.append((index, chunk, tag))
+        if not selected:
+            return []
+        selected.sort(key=lambda x: x[0])
+        seen_texts = set()
+        out = []
+        for index, chunk, tag in selected:
+            if chunk not in seen_texts:
+                seen_texts.add(chunk)
+                out.append(clean_element(tag))
+        return out

@@ -188,3 +188,101 @@ def test_markdown_udf_single_crossing(spark):
     assert plan.count("ArrowEvalPython (") == 1, plan
     out = df.select("doc_id", "markdown.raw_markdown").limit(2).collect()
     assert all(r["raw_markdown"].startswith("# doc-") for r in out)
+
+
+def test_bm25_okapi_matches_reference_algorithm():
+    """bm25_okapi_scores vs hand-computed rank_bm25 BM25Okapi values
+    (k1=1.5, b=0.75, epsilon=0.25)."""
+    import math
+
+    from crawl4ai_spark.functions.markdown import bm25_okapi_scores
+
+    corpus = [["spark", "engine", "fast"], ["slow", "engine"],
+              ["spark", "spark", "jobs"]]
+    scores = bm25_okapi_scores(corpus, ["spark"])
+    # df(spark)=2, N=3 → idf = ln(3-2+0.5) - ln(2+0.5) = ln(1.5/2.5)
+    # < 0 → floored to eps*avg_idf
+    idfs = {
+        "spark": math.log(1.5) - math.log(2.5),
+        "engine": math.log(1.5) - math.log(2.5),
+        "fast": math.log(2.5) - math.log(1.5),
+        "slow": math.log(2.5) - math.log(1.5),
+        "jobs": math.log(2.5) - math.log(1.5),
+    }
+    avg = sum(idfs.values()) / 5
+    floor = 0.25 * avg
+    avgdl = 8 / 3
+    def okapi(f, dl):
+        return floor * (f * 2.5) / (f + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert scores[0] == pytest.approx(okapi(1, 3))
+    assert scores[1] == 0.0
+    assert scores[2] == pytest.approx(okapi(2, 3))
+
+
+def test_bm25_content_filter():
+    from crawl4ai_spark.functions.markdown import (
+        BM25ContentFilter,
+        clean_tokens,
+        extract_text_chunks,
+    )
+    from crawl4ai_spark.functions.html_dom import parse_html
+
+    html = """<html><head><title>spark engine guide</title></head><body>
+    <h1>Spark engine internals</h1>
+    <p>The spark engine schedules jobs across executors with
+    speculative retries and whole-stage codegen for engine speed.</p>
+    <p>Cookie policy and unrelated legal boilerplate text lives in this
+    completely different paragraph about privacy terms.</p>
+    </body></html>"""
+    blocks = BM25ContentFilter(bm25_threshold=0.1).filter_content(html)
+    joined = " ".join(blocks)
+    assert "spark engine schedules" in joined.replace("  ", " ") or any(
+        "schedules" in b for b in blocks
+    )
+    assert not any("privacy" in b for b in blocks)
+    # h1 gets the 5.0 priority boost → surfaces even at higher threshold
+    hi = BM25ContentFilter(bm25_threshold=0.3).filter_content(html)
+    assert any("<h1>" in b for b in hi)
+    # no query and no metadata → []
+    assert BM25ContentFilter().filter_content("<body><div>x</div></body>") == []
+    # user_query drives scoring; min_word_threshold drops the 3-word
+    # h1 so only 2 chunks remain — and at N=2, df=1 gives idf=0
+    # (faithful BM25Okapi), so the threshold must admit score 0
+    uq = BM25ContentFilter(
+        user_query="privacy terms", bm25_threshold=0.0
+    ).filter_content(html, min_word_threshold=5)
+    assert any("privacy" in b for b in uq)
+    assert not any("<h1>" in b for b in uq)  # min_word_threshold
+    # clean_tokens parity spot checks
+    assert clean_tokens(["the", "spark", "engine", "up", "↑x", "ab"]) == [
+        "spark", "engine",
+    ]
+    # chunk extraction: inline tags glue, blocks split, headers tagged
+    root = parse_html(
+        "<body><h2>Head<b>er</b></h2><div>one <span>two</span></div></body>"
+    )
+    chunks = extract_text_chunks(root.find("body"))
+    # faithful reference quirk: stripped strings GLUE with no
+    # separator ("one " + "two" → "onetwo", ''.join at :232)
+    assert [(c[1], c[2]) for c in chunks] == [
+        ("Header", "header"), ("onetwo", "content"),
+    ]
+
+
+def test_fit_markdown_with_bm25_filter():
+    from crawl4ai_spark.functions.markdown import BM25ContentFilter
+
+    gen = DefaultMarkdownGenerator(
+        content_filter=BM25ContentFilter(bm25_threshold=0.1),
+        content_source="raw_html",
+    )
+    html = """<html><head><title>data pipelines</title></head><body>
+    <p>Building data pipelines with distributed processing engines and
+    columnar formats for pipelines at scale.</p>
+    <p>Weather report tomorrow sunny intervals with light winds.</p>
+    <nav>home about contact sitemap login register</nav>
+    </body></html>"""
+    r = gen.generate_markdown(html, "https://e.io/p")
+    assert "pipelines" in r["fit_markdown"]
+    assert "sitemap login" not in r["fit_markdown"]
+    assert "Weather" not in r["fit_markdown"]
