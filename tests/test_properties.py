@@ -264,3 +264,113 @@ def test_phash_blocks_partition_exactly(x, blocks):
     for (lo, w), v in zip(ranges, _block_vals(x, 64, blocks)):
         re |= v << lo
     assert re == x
+
+
+# ---------------------------------------------------------------------------
+# HTML tier (r5): the parser/scrapers must be total functions over
+# arbitrary byte-soup — a crawl of the real web feeds them everything
+# ---------------------------------------------------------------------------
+
+_html_soup = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\x00"
+    ),
+    max_size=400,
+)
+_taggy = st.lists(
+    st.sampled_from([
+        "<div>", "</div>", "<a href='/x'>", "<a>", "</a>", "<p>", "<li>",
+        "<img src=/i.png>", "<table>", "<tr>", "<td>", "</td>", "text ",
+        "&amp;", "&bogus;", "<b>", "</i>", "<script>", "</script>",
+        '<base href="/b/">', "<!-- c -->", "<![CDATA[x]]>", "<input",
+        ">", "<", '"', "<h1>", "</h1>", "<meta name=description content=d>",
+    ]),
+    max_size=40,
+).map("".join)
+
+
+@given(st.one_of(_html_soup, _taggy))
+@settings(max_examples=200, deadline=None)
+def test_html_tier_total_on_soup(html):
+    """parse/scrape/quick/clean/markdown/tables never raise and keep
+    their output contracts on arbitrary soup (tag fragments, stray
+    brackets, bogus entities, unclosed everything)."""
+    from crawl4ai_spark.functions.html_dom import Node, parse_html
+    from crawl4ai_spark.functions.markdown import (
+        BM25ContentFilter,
+        DefaultMarkdownGenerator,
+        PruningContentFilter,
+    )
+    from crawl4ai_spark.functions.scrape import (
+        py_cleaned_html,
+        py_extract_metadata,
+        py_quick_links,
+        py_scrape_links,
+        py_scrape_media,
+    )
+    from crawl4ai_spark.functions.tables import DefaultTableExtraction
+
+    url = "https://prop.example.com/base/page"
+    root = parse_html(html)
+    assert isinstance(root, Node)
+    links = py_scrape_links(url, html, score_links=True)
+    assert all(isinstance(l["href"], str) for l in links)
+    assert all(0.0 <= l["intrinsic_score"] <= 10.0 for l in links)
+    quick = py_quick_links(url, html)
+    # quick path never emits skipped schemes
+    assert not any(
+        l["href"].startswith(("javascript:", "mailto:", "tel:"))
+        for l in quick
+    )
+    media = py_scrape_media(url, html, table_extraction=True)
+    assert set(media) == {"images", "videos", "audios", "tables"}
+    assert isinstance(py_extract_metadata(html), dict)
+    assert isinstance(py_cleaned_html(url, html), str)
+    DefaultTableExtraction().extract_tables(root)
+    r = DefaultMarkdownGenerator(
+        content_filter=PruningContentFilter()
+    ).generate_markdown(html, url)
+    assert isinstance(r["raw_markdown"], str)
+    BM25ContentFilter(user_query="probe query").filter_content(html)
+
+
+@given(_taggy)
+@settings(max_examples=150, deadline=None)
+def test_scrape_links_deduped_and_classified(html):
+    """Scrape invariants the engine relies on: hrefs unique per side,
+    classification consistent with is_external_url, text never None."""
+    from crawl4ai_spark.functions.normalize import (
+        get_base_domain,
+        is_external_url,
+    )
+    from crawl4ai_spark.functions.scrape import py_scrape_links
+
+    url = "https://prop.example.com/base/page"
+    base = get_base_domain(url)
+    links = py_scrape_links(url, html)
+    internal = [l["href"] for l in links if not l["is_external"]]
+    external = [l["href"] for l in links if l["is_external"]]
+    assert len(internal) == len(set(internal))
+    assert len(external) == len(set(external))
+    for l in links:
+        assert l["is_external"] == is_external_url(l["href"], base)
+        assert l["text"] is not None and l["title"] is not None
+
+
+@given(_taggy)
+@settings(max_examples=100, deadline=None)
+def test_node_html_reparse_stable(html):
+    """Serialize → reparse → serialize is a fixed point: node_html
+    output is valid HTML that parses back to itself."""
+    from crawl4ai_spark.functions.extract import node_html
+    from crawl4ai_spark.functions.html_dom import parse_html
+
+    root = parse_html(html)
+    ser = "".join(
+        node_html(c) for c in root.children if not isinstance(c, str)
+    )
+    again = parse_html(ser)
+    ser2 = "".join(
+        node_html(c) for c in again.children if not isinstance(c, str)
+    )
+    assert ser == ser2
