@@ -468,7 +468,9 @@ class DefaultMarkdownGenerator:
     (markdown_generation_strategy.py:62-80; applied by the caller in
     async_webcrawler): "cleaned_html" (the reference default — the
     _scrap cleaning pipeline runs first, functions/scrape.py:
-    py_cleaned_html) or "raw_html"."""
+    py_cleaned_html), "raw_html", or "fit_html" (the content filter's
+    surviving blocks become the markdown input — requires a
+    content_filter)."""
 
     def __init__(
         self,
@@ -478,9 +480,13 @@ class DefaultMarkdownGenerator:
     ):
         self.content_filter = content_filter
         self.options = options or {}
-        if content_source not in ("cleaned_html", "raw_html"):
+        if content_source not in ("cleaned_html", "raw_html", "fit_html"):
             raise ValueError(
                 f"unknown content_source: {content_source!r}"
+            )
+        if content_source == "fit_html" and content_filter is None:
+            raise ValueError(
+                "content_source='fit_html' needs a content_filter"
             )
         self.content_source = content_source
 
@@ -495,6 +501,11 @@ class DefaultMarkdownGenerator:
             from crawl4ai_spark.functions.scrape import py_cleaned_html
 
             input_html = py_cleaned_html(base_url, input_html)
+        elif self.content_source == "fit_html":
+            # the reference's third source: the content filter's
+            # surviving blocks ARE the markdown input
+            flt = content_filter or self.content_filter
+            input_html = "\n".join(flt.filter_content(input_html))
         raw_markdown = html_to_markdown(input_html)
         raw_markdown = raw_markdown.replace("    ```", "```")
         markdown_with_citations = raw_markdown

@@ -286,3 +286,26 @@ def test_fit_markdown_with_bm25_filter():
     assert "pipelines" in r["fit_markdown"]
     assert "sitemap login" not in r["fit_markdown"]
     assert "Weather" not in r["fit_markdown"]
+
+
+def test_content_source_fit_html():
+    from crawl4ai_spark.functions.markdown import BM25ContentFilter
+
+    html = """<html><head><title>data pipelines</title></head><body>
+    <p>Building data pipelines with distributed processing engines and
+    columnar formats for pipelines at scale.</p>
+    <p>Weather report tomorrow sunny intervals with light winds.</p>
+    <nav>home about contact sitemap login register</nav>
+    </body></html>"""
+    gen = DefaultMarkdownGenerator(
+        content_filter=BM25ContentFilter(bm25_threshold=0.1),
+        content_source="fit_html",
+    )
+    r = gen.generate_markdown(html, "https://e.io/p")
+    # raw markdown now comes FROM the filtered blocks
+    assert "pipelines" in r["raw_markdown"]
+    assert "Weather" not in r["raw_markdown"]
+    with pytest.raises(ValueError, match="content_filter"):
+        DefaultMarkdownGenerator(content_source="fit_html")
+    with pytest.raises(ValueError, match="content_source"):
+        DefaultMarkdownGenerator(content_source="nope")
